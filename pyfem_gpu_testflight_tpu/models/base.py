@@ -1,0 +1,170 @@
+"""Shared model infrastructure.
+
+A model bundles: an element type (static tables), mesh arrays on device,
+dof maps, Dirichlet BCs, and a lazily-built host sparsity pattern for the
+direct/oracle path.  All compute methods are pure jitted functions taking
+the model's array pytree — one compilation per problem *shape*.
+
+Reference parity: ModelBase (pyfem.py:634-931) — constructor signature
+(ndof_per_node, X, conn, dof_fixed, dof_fixed_vals, element tables), rhs
+and Jacobian assembly plumbing, and the RAMP material helpers shared by
+LinearPoisson / LinearElasticity (pyfem.py:1278-1329, 1922-1973).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import assembly
+from ..bcs import DirichletBC
+from ..elements import get_element
+from ..ops import geometry
+
+__all__ = ["FEModel", "ramp", "ramp_deriv"]
+
+
+def ramp(rho_q, p):
+    """RAMP penalization factor rho / (1 + p (1 - rho)) (pyfem.py:1300)."""
+    return rho_q / (1.0 + p * (1.0 - rho_q))
+
+
+def ramp_deriv(rho_q, p):
+    """d RAMP / d rho = (1 + p) / (1 + p (1 - rho))^2 (pyfem.py:1325)."""
+    return (1.0 + p) / (1.0 + p * (1.0 - rho_q)) ** 2
+
+
+class FEModel:
+    """Base class holding mesh/element/BC state for a physics model."""
+
+    def __init__(
+        self,
+        etype,
+        X,
+        conn,
+        dof_fixed=(),
+        dof_fixed_vals=None,
+        *,
+        ndof_per_node: int,
+        dtype=jnp.float64,
+    ):
+        self.etype = get_element(etype)
+        X_host = np.asarray(X, dtype=np.float64)
+        conn_host = np.asarray(conn, dtype=np.int64)
+        assert X_host.shape[1] == self.etype.ndims, (
+            f"mesh is {X_host.shape[1]}D but element {self.etype.name} is "
+            f"{self.etype.ndims}D"
+        )
+        assert conn_host.shape[1] == self.etype.nnodes
+
+        self.dtype = jnp.dtype(dtype)
+        self.ndof_per_node = int(ndof_per_node)
+        self.nelems = int(conn_host.shape[0])
+        self.nnodes = int(X_host.shape[0])
+        self.ndims = int(X_host.shape[1])
+        self.nnodes_per_elem = self.etype.nnodes
+        self.nquads = self.etype.nquads
+        self.ndof = self.nnodes * self.ndof_per_node
+
+        # Host copies (mesh setup, io, direct path)
+        self.X_host = X_host
+        self.conn_host = conn_host
+        self.conn_dof_host = assembly.make_conn_dof(conn_host, self.ndof_per_node)
+
+        # Device arrays
+        self.X = jnp.asarray(X_host, dtype=self.dtype)
+        self.conn = jnp.asarray(conn_host.astype(np.int32))
+        self.conn_dof = jnp.asarray(self.conn_dof_host)
+
+        # Element tables on device (real dtype)
+        self.N = jnp.asarray(self.etype.shape_vals, dtype=self.dtype)
+        self.dN = jnp.asarray(self.etype.shape_grads, dtype=self.dtype)
+        self.wq = jnp.asarray(self.etype.quad_wts, dtype=self.dtype)
+
+        # Element nodal coordinates (gathered once; X is static)
+        self.Xe = geometry.gather_to_elements(self.X, self.conn)
+
+        # Constrain dofs of unreferenced grid nodes (e.g. brick20 meshes
+        # skip super-cell centers, pyfem.py:683) so systems stay regular.
+        used = np.zeros(self.nnodes, dtype=bool)
+        used[conn_host.ravel()] = True
+        unused = np.where(~used)[0]
+        dof_fixed = np.asarray(dof_fixed, dtype=np.int64).ravel()
+        if unused.size:
+            extra = (
+                self.ndof_per_node * unused[:, None]
+                + np.arange(self.ndof_per_node)
+            ).ravel()
+            dof_fixed = np.concatenate([dof_fixed, extra])
+            if dof_fixed_vals is not None:
+                dof_fixed_vals = np.concatenate(
+                    [np.asarray(dof_fixed_vals, dtype=float), np.zeros(extra.size)]
+                )
+        self.bc = DirichletBC(dof_fixed, dof_fixed_vals, self.ndof)
+
+        self._pattern = None
+
+    # -- pattern / global matrix (lazy; host) -----------------------------
+
+    @property
+    def pattern(self) -> assembly.SparsityPattern:
+        if self._pattern is None:
+            self._pattern = assembly.SparsityPattern(self.conn_dof_host, self.ndof)
+        return self._pattern
+
+    def assemble_scipy(self, Ke, apply_bcs=False, enforce_symmetric_K=True, rhs=None):
+        """Assemble element matrices into a host scipy CSR matrix."""
+        values = assembly.assemble_values(jnp.asarray(Ke), self.pattern)
+        K = assembly.scipy_csr(values, self.pattern)
+        if not apply_bcs:
+            return K
+        if rhs is None:
+            rhs = np.zeros(self.ndof)
+        return self.bc.apply_scipy(K, np.asarray(rhs), enforce_symmetric_K)
+
+    # -- operator helpers --------------------------------------------------
+
+    def matvec(self, Ke, u):
+        """Unconstrained matrix-free SpMV."""
+        return assembly.elem_matvec(Ke, self.conn_dof, u, self.ndof)
+
+    def diagonal(self, Ke):
+        return assembly.elem_diagonal(Ke, self.conn_dof, self.ndof)
+
+    def _solve_system(self, Ke, rhs, method="cg", rtol=1e-8):
+        """Apply BCs and solve K u = rhs.
+
+        Returns:
+            (u, b): solution and the BC-applied rhs (used by compliance).
+        """
+        assert method in ("direct", "cg", "gmres")
+        if method == "direct":
+            K = self.assemble_scipy(Ke)
+            K, b = self.bc.apply_scipy(K, np.asarray(rhs))
+            from .. import solvers
+
+            return jnp.asarray(solvers.direct_solve(K, b)), jnp.asarray(b)
+        from .. import solvers
+
+        b = self.bc.constrain_rhs(rhs, lambda v: self.matvec(Ke, v))
+        data = (Ke, self.conn_dof, self.bc.mask)
+        diag = self.diagonal(Ke)
+        # unit entries at fixed dofs; guard unreferenced dofs (zero rows)
+        inv_diag = 1.0 / jnp.where(self.bc.mask | (diag == 0), 1.0, diag)
+        if method == "cg":
+            u = solvers.cg(
+                assembly.bc_elem_matvec, data, b, inv_diag=inv_diag, rtol=rtol
+            ).x
+        else:
+            u = solvers.gmres(
+                assembly.bc_elem_matvec, data, b, inv_diag=inv_diag, rtol=rtol
+            )
+        return u, b
+
+    def _as_nodal(self, rho):
+        """Broadcast scalar density to a nodal field (pyfem.py:1015-1016)."""
+        if rho is None:
+            rho = 1.0
+        if np.ndim(rho) == 0:
+            rho = jnp.full((self.nnodes,), rho, dtype=self.dtype)
+        return jnp.asarray(rho)

@@ -1,0 +1,148 @@
+"""Linear Poisson model: -k Delta u = g with Dirichlet BCs.
+
+Reference parity: ``LinearPoisson`` (pyfem.py:934-1329) — RAMP-penalized
+conductivity for topology optimization, source-term callback ``gfunc``,
+compliance/volume objectives with adjoint gradients, complex-step-ready
+(complex densities propagate through assembly).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import assembly
+from ..ops import geometry, stiffness
+from .base import FEModel, ramp, ramp_deriv
+
+__all__ = ["LinearPoisson"]
+
+
+@jax.jit
+def _element_jacobian(Xe, dN, N, wq, conn, rho, p):
+    rho_e = jnp.take(rho, conn, axis=0)
+    rho_q = geometry.interp_to_quads(N, rho_e)
+    return stiffness.poisson_stiffness(Xe, dN, wq, ramp(rho_q, p))
+
+
+@jax.jit
+def _dv_sens(Xe, dN, N, wq, conn, rho, p, phi, psi):
+    rho_e = jnp.take(rho, conn, axis=0)
+    rho_q = geometry.interp_to_quads(N, rho_e)
+    inner = stiffness.poisson_dv_inner(
+        Xe,
+        dN,
+        N,
+        wq,
+        ramp_deriv(rho_q, p),
+        jnp.take(phi, conn, axis=0),
+        jnp.take(psi, conn, axis=0),
+    )
+    return assembly.assemble_vector(inner, conn, rho.shape[0])
+
+
+class LinearPoisson(FEModel):
+    """Linear (optionally RAMP-penalized) Poisson problem.
+
+    Args:
+        etype: element type name or ElementType.
+        X, conn: mesh arrays.
+        dof_fixed, dof_fixed_vals: Dirichlet data (vals None => zeros).
+        gfunc: source term callback Xq -> values, traced under jit
+            (pyfem.py:1126-1128).
+        kappa0: nominal conductivity (kept for API parity; like the
+            reference, the stiffness uses the RAMP factor only).
+        p: RAMP penalization parameter.
+    """
+
+    def __init__(
+        self,
+        etype,
+        X,
+        conn,
+        dof_fixed=(),
+        dof_fixed_vals=None,
+        gfunc=None,
+        kappa0=1.0,
+        p=0.0,
+        dtype=jnp.float64,
+    ):
+        super().__init__(
+            etype, X, conn, dof_fixed, dof_fixed_vals, ndof_per_node=1, dtype=dtype
+        )
+        self.gfunc = gfunc
+        self.kappa0 = kappa0
+        self.p = float(p)
+        self._rhs = None
+
+    # -- assembly ----------------------------------------------------------
+
+    def element_jacobian(self, rho=1.0):
+        """Element stiffness matrices Ke (nelems, nn, nn)."""
+        rho = self._as_nodal(rho)
+        return _element_jacobian(
+            self.Xe, self.dN, self.N, self.wq, self.conn, rho, self.p
+        )
+
+    def compute_jacobian(self, rho=1.0):
+        """Assembled scipy CSR global matrix (host; oracle/direct path)."""
+        return self.assemble_scipy(self.element_jacobian(rho))
+
+    def compute_rhs(self):
+        """Global load vector: rhs[n] = sum_e sum_q w|J| g(Xq) N_n."""
+        if self._rhs is None:
+            detJ, _ = geometry.det_and_inv(geometry.jacobian(self.Xe, self.dN))
+            Xq = geometry.interp_to_quads(self.N, self.Xe)
+            g = self.gfunc(Xq) if self.gfunc is not None else jnp.zeros(detJ.shape)
+            g = jnp.broadcast_to(jnp.asarray(g, dtype=self.dtype), detJ.shape)
+            fe = jnp.einsum("eq,qn->en", detJ * self.wq[None, :] * g, self.N)
+            self._rhs = assembly.assemble_vector(fe, self.conn_dof, self.ndof)
+        return self._rhs
+
+    # -- solves --------------------------------------------------------------
+
+    def solve(self, method="cg", rho=1.0, rtol=1e-8):
+        """Static solve with Dirichlet BCs (direct | cg | gmres)."""
+        Ke = self.element_jacobian(rho)
+        u, _ = self._solve_system(Ke, self.compute_rhs(), method, rtol)
+        return u
+
+    # -- optimization functionals -------------------------------------------
+
+    def compliance(self, rho, solver="cg", weighted=True):
+        """Thermal compliance c = <rhs_bc, u> (or mean(u)) and state u.
+
+        Mirrors pyfem.py:1032-1073; complex-step requires solver='direct'.
+        """
+        rho = self._as_nodal(rho)
+        Ke = self.element_jacobian(rho)
+        u, b = self._solve_system(Ke, self.compute_rhs(), solver)
+        if weighted:
+            return b.dot(u), u
+        return jnp.sum(u) / u.shape[0], u
+
+    def compliance_grad(self, rho, u, weighted=True):
+        """Adjoint gradient of compliance w.r.t. nodal rho (pyfem.py:1075)."""
+        rho = self._as_nodal(rho)
+        if weighted:
+            psi = u  # self-adjoint
+        else:
+            Ke = self.element_jacobian(rho)
+            rhs = jnp.ones(self.ndof, dtype=self.dtype)
+            psi, _ = self._solve_system(Ke, rhs, "direct")
+            psi = psi / self.ndof
+        return -self.k_dv_sens(rho, psi, u)
+
+    def k_dv_sens(self, rho, phi, psi):
+        """d(phi^T K psi)/d rho, nodal (pyfem.py:1240-1276)."""
+        rho = self._as_nodal(rho)
+        return _dv_sens(
+            self.Xe, self.dN, self.N, self.wq, self.conn, rho, self.p,
+            jnp.asarray(phi), jnp.asarray(psi),
+        )
+
+    def volume(self, rho):
+        return jnp.sum(rho) / self.nnodes
+
+    def volume_grad(self, rho):
+        return jnp.ones(self.nnodes, dtype=self.dtype) / self.nnodes

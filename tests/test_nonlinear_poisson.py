@@ -1,0 +1,47 @@
+"""Nonlinear Poisson verification (mirrors reference tests/test_nonlinear_poisson.py)."""
+
+import numpy as np
+import pytest
+
+import pyfem_gpu_testflight_tpu as fem
+from oracles.nonlinear_poisson_oracle import NonlinearPoissonOracle
+
+
+@pytest.mark.parametrize("method", ["direct", "gmres"])
+def test_nonlinear_poisson_vs_oracle(method):
+    creator = fem.ProblemCreator(nnodes_x=32, nnodes_y=32)
+    conn, X, dof_fixed = creator.create_poisson_problem()
+
+    n_dv = 10
+    x = np.ones(n_dv) / n_dv
+
+    oracle = NonlinearPoissonOracle(conn, X, dof_fixed)
+    u_ref = oracle.solve(x)
+
+    model = fem.NonlinearPoisson("quad4", X, conn, dof_fixed)
+    u = np.asarray(model.solve_nonlinear(method=method, xdv=x, verbose=False))
+
+    rng = np.random.RandomState(123)
+    p = rng.rand(u.shape[0])
+    pTu = p.dot(u)
+    pTu_ref = p.dot(u_ref)
+    assert abs((pTu - pTu_ref) / pTu) < 1e-8
+
+
+def test_tangent_consistency():
+    """The assembled tangent matches finite differences of the residual."""
+    creator = fem.ProblemCreator(nnodes_x=6, nnodes_y=6)
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    model = fem.NonlinearPoisson("quad4", X, conn, dof_fixed)
+    rng = np.random.RandomState(3)
+    xdv = rng.rand(4)
+    u = 0.1 * rng.standard_normal(model.ndof)
+    K = model.compute_jacobian(xdv, u).toarray()
+    h = 1e-7
+    for j in [0, 7, 20]:
+        du = np.zeros(model.ndof)
+        du[j] = h
+        rp = np.asarray(model.compute_rhs(xdv, u + du))
+        rm = np.asarray(model.compute_rhs(xdv, u - du))
+        fd = (rp - rm) / (2 * h)
+        np.testing.assert_allclose(K[:, j], fd, rtol=2e-6, atol=2e-6)
