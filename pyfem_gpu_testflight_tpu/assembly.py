@@ -21,6 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .ops.precision import einsum
+
 __all__ = [
     "make_conn_dof",
     "SparsityPattern",
@@ -137,7 +139,7 @@ def elem_matvec(Ke, conn_dof, u, ndof_total: int):
         u: (ndof_total,).
     """
     ue = jnp.take(u, conn_dof, axis=0)  # (nelems, ndpe)
-    fe = jnp.einsum("eij,ej->ei", Ke, ue)
+    fe = einsum("eij,ej->ei", Ke, ue)
     return jax.ops.segment_sum(
         fe.reshape(-1), conn_dof.reshape(-1), num_segments=ndof_total
     )

@@ -14,6 +14,8 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..ops.precision import einsum
 from scipy import special
 
 from .. import assembly, solvers
@@ -53,8 +55,8 @@ def _residual_elem(Xe, dN, N, wq, conn, xdv, u):
     h = hfunc(xdv, Xq)
     g = gfunc(Xq)
     c = detJ * h * (1.0 + uq**2) * wq[None, :]
-    flux = jnp.einsum("eq,eqjl,eqkl,ek->ej", c, Ngrad, Ngrad, ue)
-    load = jnp.einsum("eq,qn->en", detJ * wq[None, :] * g, N)
+    flux = einsum("eq,eqjl,eqkl,ek->ej", c, Ngrad, Ngrad, ue)
+    load = einsum("eq,qn->en", detJ * wq[None, :] * g, N)
     return flux - load
 
 
@@ -67,10 +69,10 @@ def _tangent_elem(Xe, dN, N, wq, conn, xdv, u):
     uq = geometry.interp_to_quads(N, ue)
     h = hfunc(xdv, Xq)
     c1 = detJ * h * (1.0 + uq**2) * wq[None, :]
-    Ke = jnp.einsum("eq,eqjl,eqkl->ejk", c1, Ngrad, Ngrad)
+    Ke = einsum("eq,eqjl,eqkl->ejk", c1, Ngrad, Ngrad)
     c2 = 2.0 * detJ * h * uq * wq[None, :]
-    bbu = jnp.einsum("eqjl,eqkl,ek->eqj", Ngrad, Ngrad, ue)
-    Ke = Ke + jnp.einsum("eq,eqj,qi->eji", c2, bbu, N)
+    bbu = einsum("eqjl,eqkl,ek->eqj", Ngrad, Ngrad, ue)
+    Ke = Ke + einsum("eq,eqj,qi->eji", c2, bbu, N)
     return Ke
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.precision import einsum
+
 from .. import assembly
 from ..ops import geometry, stiffness
 from .base import FEModel, ramp, ramp_deriv
@@ -95,7 +97,7 @@ class LinearPoisson(FEModel):
             Xq = geometry.interp_to_quads(self.N, self.Xe)
             g = self.gfunc(Xq) if self.gfunc is not None else jnp.zeros(detJ.shape)
             g = jnp.broadcast_to(jnp.asarray(g, dtype=self.dtype), detJ.shape)
-            fe = jnp.einsum("eq,qn->en", detJ * self.wq[None, :] * g, self.N)
+            fe = einsum("eq,qn->en", detJ * self.wq[None, :] * g, self.N)
             self._rhs = assembly.assemble_vector(fe, self.conn_dof, self.ndof)
         return self._rhs
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .precision import einsum
+
 __all__ = [
     "gather_to_elements",
     "jacobian",
@@ -43,7 +45,11 @@ def jacobian(Xe, dN):
     Returns:
         J: (nelems, nquads, ndims, ndims).
     """
-    return jnp.einsum("qnk,eni->eqik", dN, Xe)
+    # Center on the element centroid: sum_n dN[q,n,k] == 0 makes this a
+    # no-op analytically, but it removes the catastrophic cancellation of
+    # near-equal coordinates in float32 (element size << domain size).
+    Xc = Xe - jnp.mean(Xe, axis=1, keepdims=True)
+    return einsum("qnk,eni->eqik", dN, Xc)
 
 
 def det_and_inv(J):
@@ -100,7 +106,7 @@ def shape_gradients(Xe, dN):
     J = jacobian(Xe, dN)
     detJ, invJ = det_and_inv(J)
     # dN/dx_i = sum_m dN/dxi_m * dxi_m/dx_i;  invJ[m, i] = dxi_m/dx_i
-    Ngrad = jnp.einsum("qnm,eqmi->eqni", dN, invJ)
+    Ngrad = einsum("qnm,eqmi->eqni", dN, invJ)
     return detJ, Ngrad
 
 
@@ -115,8 +121,8 @@ def interp_to_quads(N, data_e):
         (nelems, nquads[, k]).
     """
     if data_e.ndim == 2:
-        return jnp.einsum("qn,en->eq", N, data_e)
-    return jnp.einsum("qn,enk->eqk", N, data_e)
+        return einsum("qn,en->eq", N, data_e)
+    return einsum("qn,enk->eqk", N, data_e)
 
 
 def quad_weights_times_detj(detJ, wq):

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .precision import einsum
+
 from . import geometry
 
 __all__ = [
@@ -58,14 +60,14 @@ def poisson_stiffness(Xe, dN, wq, kappa_q):
     """
     detJ, Ngrad = geometry.shape_gradients(Xe, dN)
     c = kappa_q * (detJ * wq[None, :])
-    return jnp.einsum("eq,eqnl,eqml->enm", c, Ngrad, Ngrad)
+    return einsum("eq,eqnl,eqml->enm", c, Ngrad, Ngrad)
 
 
 def mass_matrix(Xe, dN, N, wq):
     """Consistent mass matrix Me[e,n,m] = sum_q w_q |J_q| N_n N_m."""
     J = geometry.jacobian(Xe, dN)
     detJ, _ = geometry.det_and_inv(J)
-    return jnp.einsum("eq,qn,qm->enm", detJ * wq[None, :], N, N)
+    return einsum("eq,qn,qm->enm", detJ * wq[None, :], N, N)
 
 
 def elasticity_stiffness(Xe, dN, wq, Cq, mu, lam):
@@ -82,8 +84,8 @@ def elasticity_stiffness(Xe, dN, wq, Cq, mu, lam):
     detJ, Ngrad = geometry.shape_gradients(Xe, dN)
     nelems, nq, nn, nd = Ngrad.shape
     c = Cq * (detJ * wq[None, :])
-    gg = jnp.einsum("eq,eqnl,eqml->enm", c, Ngrad, Ngrad)  # grad.grad
-    P = jnp.einsum("eq,eqna,eqmb->enamb", c, Ngrad, Ngrad)
+    gg = einsum("eq,eqnl,eqml->enm", c, Ngrad, Ngrad)  # grad.grad
+    P = einsum("eq,eqna,eqmb->enamb", c, Ngrad, Ngrad)
     eye = jnp.eye(nd, dtype=P.dtype)
     Ke = (
         mu * (gg[:, :, None, :, None] * eye[None, None, :, None, :])
@@ -107,11 +109,11 @@ def poisson_dv_inner(Xe, dN, N, wq, dramp_q, phi_e, psi_e):
         inner: (nelems, nn) — scatter over conn to get nodal gradient.
     """
     detJ, Ngrad = geometry.shape_gradients(Xe, dN)
-    gphi = jnp.einsum("eqnl,en->eql", Ngrad, phi_e)
-    gpsi = jnp.einsum("eqnl,en->eql", Ngrad, psi_e)
-    a = jnp.einsum("eql,eql->eq", gphi, gpsi)
+    gphi = einsum("eqnl,en->eql", Ngrad, phi_e)
+    gpsi = einsum("eqnl,en->eql", Ngrad, psi_e)
+    a = einsum("eql,eql->eq", gphi, gpsi)
     w = dramp_q * (detJ * wq[None, :]) * a
-    return jnp.einsum("qo,eq->eo", N, w)
+    return einsum("qo,eq->eo", N, w)
 
 
 def elasticity_dv_inner(Xe, dN, N, wq, dramp_q, phi_e, psi_e, mu, lam):
@@ -123,12 +125,12 @@ def elasticity_dv_inner(Xe, dN, N, wq, dramp_q, phi_e, psi_e, mu, lam):
     """
     detJ, Ngrad = geometry.shape_gradients(Xe, dN)
     # displacement gradient g[e,q,a,l] = d phi_a / d x_l
-    gphi = jnp.einsum("eqnl,ena->eqal", Ngrad, phi_e)
-    gpsi = jnp.einsum("eqnl,ena->eqal", Ngrad, psi_e)
-    t1 = jnp.einsum("eqal,eqal->eq", gphi, gpsi)
-    t2 = jnp.einsum("eqal,eqla->eq", gphi, gpsi)
+    gphi = einsum("eqnl,ena->eqal", Ngrad, phi_e)
+    gpsi = einsum("eqnl,ena->eqal", Ngrad, psi_e)
+    t1 = einsum("eqal,eqal->eq", gphi, gpsi)
+    t2 = einsum("eqal,eqla->eq", gphi, gpsi)
     divphi = jnp.trace(gphi, axis1=2, axis2=3)
     divpsi = jnp.trace(gpsi, axis1=2, axis2=3)
     s = mu * (t1 + t2) + lam * divphi * divpsi
     w = dramp_q * (detJ * wq[None, :]) * s
-    return jnp.einsum("qo,eq->eo", N, w)
+    return einsum("qo,eq->eo", N, w)

@@ -37,12 +37,24 @@ class CGResult(NamedTuple):
     resnorm: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "maxiter"))
-def _cg_impl(apply_fn, data, b, x0, inv_diag, rtol, atol, maxiter):
+def cg_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0, maxiter=1000, x0=None):
+    """Traced Jacobi-PCG while-loop, embeddable inside larger jits.
+
+    Args:
+        matvec: u -> A u (traced closure; operator arrays should be jit
+            arguments of the enclosing program, not Python constants).
+
+    Returns:
+        (x, iters, resnorm).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if inv_diag is None:
+        inv_diag = jnp.ones_like(b)
     normb = jnp.linalg.norm(b)
     tol2 = jnp.maximum(rtol * normb, atol) ** 2
 
-    r = b - apply_fn(data, x0)
+    r = b - matvec(x0)
     z = inv_diag * r
     p = z
     rz = jnp.vdot(r, z)
@@ -53,7 +65,7 @@ def _cg_impl(apply_fn, data, b, x0, inv_diag, rtol, atol, maxiter):
 
     def body(state):
         x, r, z, p, rz, k = state
-        Ap = apply_fn(data, p)
+        Ap = matvec(p)
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -65,6 +77,19 @@ def _cg_impl(apply_fn, data, b, x0, inv_diag, rtol, atol, maxiter):
 
     x, r, _, _, _, k = jax.lax.while_loop(cond, body, (x0, r, z, p, rz, 0))
     return x, k, jnp.sqrt(jnp.vdot(r, r).real)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "maxiter"))
+def _cg_impl(apply_fn, data, b, x0, inv_diag, rtol, atol, maxiter):
+    return cg_loop(
+        lambda u: apply_fn(data, u),
+        b,
+        inv_diag=inv_diag,
+        rtol=rtol,
+        atol=atol,
+        maxiter=maxiter,
+        x0=x0,
+    )
 
 
 def cg(

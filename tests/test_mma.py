@@ -1,0 +1,84 @@
+"""MMA optimizer: analytic problems + gradient checker + small topo run."""
+
+import numpy as np
+
+import pyfem_gpu_testflight_tpu as fem
+from pyfem_gpu_testflight_tpu.opt import MMA, Problem, TopoProblem
+
+
+class QuadraticProblem(Problem):
+    """min sum((x - t)^2) s.t. sum(x) <= s  (con = s - sum(x) >= 0)."""
+
+    def __init__(self, n=8, s=2.0):
+        super().__init__(n, 1)
+        self.t = np.linspace(0.2, 0.9, n)
+        self.s = s
+
+    def getVarsAndBounds(self, x, lb, ub):
+        x[:] = 0.5
+        lb[:] = 0.0
+        ub[:] = 1.0
+
+    def evalObjCon(self, x):
+        return 0, float(np.sum((x - self.t) ** 2)), [self.s - float(np.sum(x))]
+
+    def evalObjConGradient(self, x, g, A):
+        g[:] = 2.0 * (x - self.t)
+        A[0][:] = -1.0
+        return 0
+
+
+def test_mma_constrained_quadratic():
+    prob = QuadraticProblem(n=8, s=2.0)
+    opt = MMA(prob, {"max_iterations": 80, "verbose": False})
+    x = opt.optimize()
+    # KKT solution: x = clip(t - lam, 0, 1) with sum(x) = s
+    from scipy.optimize import brentq
+
+    lam = brentq(lambda l: np.clip(prob.t - l, 0, 1).sum() - prob.s, -1, 1)
+    x_ref = np.clip(prob.t - lam, 0, 1)
+    np.testing.assert_allclose(x, x_ref, atol=5e-3)
+    assert np.sum(x) <= prob.s + 1e-6
+
+
+def test_mma_unconstrained_interior():
+    """With a slack constraint the optimizer reaches the unconstrained min."""
+    prob = QuadraticProblem(n=6, s=100.0)
+    opt = MMA(prob, {"max_iterations": 60, "verbose": False})
+    x = opt.optimize()
+    np.testing.assert_allclose(x, prob.t, atol=5e-3)
+
+
+def test_topo_problem_gradients():
+    creator = fem.ProblemCreator(nnodes_x=12, nnodes_y=8)
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity(
+        "quad4", X, conn, dof_fixed, None, nodal_force, p=3.0
+    )
+    filtr = fem.Helmholtz(0.05, "quad4", X, conn, rtol=1e-12)
+    prob = TopoProblem(model, filtr, fixed_volume=0.4, solver="direct")
+    results = prob.checkGradients(dh=1e-7)
+    for name, analytic, fd in results:
+        assert abs(analytic - fd) / max(1e-12, abs(fd)) < 1e-4, (name, analytic, fd)
+
+
+def test_topo_optimization_improves_compliance(tmp_path):
+    from pyfem_gpu_testflight_tpu.opt import optimize_topology
+
+    creator = fem.ProblemCreator(nnodes_x=16, nnodes_y=8)
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity(
+        "quad4", X, conn, dof_fixed, None, nodal_force, p=3.0
+    )
+    filtr = fem.Helmholtz(0.03, "quad4", X, conn)
+    prob = TopoProblem(model, filtr, fixed_volume=0.4, solver="cg")
+    _, c0, _ = prob.evalObjCon(np.full(model.nnodes, 0.4))
+    x, rho = optimize_topology(
+        model, filtr, fixed_volume=0.4, max_iterations=12,
+        prefix=str(tmp_path), verbose=False,
+    )
+    _, c1, con = prob.evalObjCon(x)
+    assert c1 < c0  # better than uniform design at same volume
+    assert con[0] > -1e-3  # volume constraint respected
+    assert (tmp_path / "result.vtk").exists()
+    assert (tmp_path / "checkpoint.npz").exists()
