@@ -45,6 +45,7 @@ class ElementType:
     quad_wts: np.ndarray
     shape_vals: np.ndarray
     shape_grads: np.ndarray
+    node_coords: np.ndarray  # (nnodes, ndims) local coordinates of nodes
 
     @property
     def nquads(self) -> int:
@@ -277,6 +278,24 @@ def _brick20_shape(pt):
 # ---------------------------------------------------------------------------
 
 
+def _tet10_node_coords():
+    corners = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=float
+    )
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3)]
+    mids = np.array([(corners[a] + corners[b]) / 2 for a, b in edges])
+    return np.vstack([corners, mids])
+
+
+_NODE_COORDS = {
+    "quad4": np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], dtype=float),
+    "tri3": np.array([[1, 0], [0, 1], [0, 0]], dtype=float),
+    "hex8": _HEX8_SIGNS,
+    "tet10": _tet10_node_coords(),
+    "brick20": _BRICK20_COORDS,
+}
+
+
 def _tabulate(name, ndims, nnodes, rule_fn, shape_fn) -> ElementType:
     pts, wts = rule_fn()
     nq = pts.shape[0]
@@ -292,6 +311,7 @@ def _tabulate(name, ndims, nnodes, rule_fn, shape_fn) -> ElementType:
         quad_wts=wts,
         shape_vals=vals,
         shape_grads=grads,
+        node_coords=_NODE_COORDS[name],
     )
 
 
