@@ -7,10 +7,13 @@ The baseline (BASELINE.md) is the driver-set target of < 5 s on a single
 TPU v5e chip for assembly + CG solve at ~1e6 dofs, with the solution
 matching the host scipy reference.
 
-Pipeline (all on device, one jit):
+Pipeline (all on device, one jit program per timed step):
     nodal rho -> RAMP material -> element stiffness (Lame-form einsums)
-    -> DIA (stencil) assembly via segment_sum -> Dirichlet mask BCs
-    -> Jacobi-PCG on the shifted-slice DIA SpMV.
+    -> DIA (stencil) assembly of the full geometric-multigrid hierarchy
+    -> Dirichlet mask BCs -> V-cycle-preconditioned CG on the
+    shifted-slice DIA SpMV.
+
+``--precond jacobi`` falls back to plain Jacobi-PCG (the pre-GMG path).
 """
 
 import argparse
@@ -23,11 +26,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nx", type=int, default=1001)
-    ap.add_argument("--ny", type=int, default=500)
+    ap.add_argument("--nx", type=int, default=1025)
+    ap.add_argument("--ny", type=int, default=513)
     ap.add_argument("--dtype", type=str, default="float32")
     ap.add_argument("--rtol", type=float, default=1e-6)
-    ap.add_argument("--maxiter", type=int, default=30000)
+    ap.add_argument("--maxiter", type=int, default=200)
+    ap.add_argument("--precond", choices=["gmg", "jacobi"], default="gmg")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--check", action="store_true",
                     help="compare against host scipy direct solve")
@@ -35,12 +39,15 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: remote TPU compiles run minutes; repeat
+    # bench invocations should not pay them again
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pyfem_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import jax.numpy as jnp
     import pyfem_gpu_testflight_tpu as fem
-    from pyfem_gpu_testflight_tpu import solvers
-    from pyfem_gpu_testflight_tpu.ops import geometry, stiffness
-    from pyfem_gpu_testflight_tpu.ops.dia import DiaOperator
-    from pyfem_gpu_testflight_tpu.models.base import ramp
+    from pyfem_gpu_testflight_tpu import multigrid, solvers
 
     dtype = jnp.dtype(args.dtype)
     log = (lambda *a: None) if args.quiet else (
@@ -55,39 +62,42 @@ def main():
         "quad4", X, conn, dof_fixed, None, nodal_force, p=0.0, dtype=dtype
     )
     ndof = model.ndof
-    log(f"ndof={ndof} nelems={model.nelems} dtype={dtype}")
+    Lx, Ly = float(X[:, 0].max()), float(X[:, 1].max())
+    log(f"ndof={ndof} nelems={model.nelems} dtype={dtype} "
+        f"precond={args.precond}")
 
-    op = DiaOperator(model.conn_dof_host, ndof)
-    log(f"dia offsets: {op.noffs}")
-
-    mu, lam = model.mu, model.lam
-    N, dN, wq = model.N, model.dN, model.wq
+    asm = multigrid.GMGAssembler(
+        args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype
+    )
+    log(f"gmg levels: {asm.sizes}")
     maxiter, rtol = args.maxiter, args.rtol
+    if args.precond == "jacobi" and args.maxiter == 200:
+        maxiter = 30000
 
-    def step(rho, rhs, Xe, conn_arr, seg_ids, mask):
-        rho_q = geometry.interp_to_quads(N, jnp.take(rho, conn_arr, axis=0))
-        Ke = stiffness.elasticity_stiffness(Xe, dN, wq, ramp(rho_q, 0.0), mu, lam)
-        dia = jax.ops.segment_sum(
-            Ke.reshape(-1), seg_ids, num_segments=op.noffs * ndof
-        ).reshape(op.noffs, ndof)
-        b = jnp.where(mask, 0.0, rhs)
-        diag = op.diagonal(dia)
-        inv_diag = 1.0 / jnp.where(mask | (diag == 0.0), 1.0, diag)
-        matvec = lambda u: op.bc_matvec(dia, mask, u)
-        x, iters, resnorm = solvers.cg_loop(
-            matvec, b, inv_diag=inv_diag, rtol=rtol, maxiter=maxiter
-        )
-        return x, iters, resnorm
+    from pyfem_gpu_testflight_tpu.ops.dia import (
+        interleave_to_planar, planar_to_interleave,
+    )
+
+    def step(rho, rhs):
+        gmg, lv0 = asm.assemble(rho)
+        rhs_g = interleave_to_planar(rhs, 2).reshape(2, args.ny, args.nx)
+        b = jnp.where(lv0.mask, 0.0, rhs_g)
+        if args.precond == "gmg":
+            precond = gmg.apply
+        else:
+            precond = lambda r: lv0.inv_diag * jnp.where(lv0.mask, 0.0, r)
+        x, k, rn = multigrid.pcg(lv0.matvec, precond, b, rtol=rtol,
+                                 maxiter=maxiter)
+        return planar_to_interleave(x.reshape(-1), 2), k, rn
 
     step_jit = jax.jit(step)
 
     rho = jnp.full((model.nnodes,), 1.0, dtype=dtype)
     rhs = jnp.asarray(model.compute_rhs(), dtype=dtype)
-    run_args = (rho, rhs, model.Xe, model.conn, op.seg_ids, model.bc.mask)
 
     log("compiling...")
     t0 = time.time()
-    u, iters, resnorm = step_jit(*run_args)
+    u, iters, resnorm = step_jit(rho, rhs)
     u.block_until_ready()
     log(f"compile+first run: {time.time()-t0:.1f}s "
         f"iters={int(iters)} resnorm={float(resnorm):.3e}")
@@ -95,7 +105,7 @@ def main():
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        u, iters, resnorm = step_jit(*run_args)
+        u, iters, resnorm = step_jit(rho, rhs)
         u.block_until_ready()
         times.append(time.time() - t0)
     elapsed = float(np.median(times))
@@ -105,10 +115,14 @@ def main():
     extra = {}
     if args.check:
         log("host scipy check...")
-        model64 = fem.LinearElasticity(
-            "quad4", X, conn, dof_fixed, None, nodal_force, dtype=jnp.float64
-        )
-        u_ref = np.asarray(model64.solve(method="direct"))
+        # float64 oracle entirely on CPU (f64 einsums on TPU are emulated
+        # and memory-hungry; the oracle is a host path by design)
+        with jax.default_device(jax.devices("cpu")[0]):
+            model64 = fem.LinearElasticity(
+                "quad4", X, conn, dof_fixed, None, nodal_force,
+                dtype=jnp.float64,
+            )
+            u_ref = np.asarray(model64.solve(method="direct"))
         rng = np.random.RandomState(123)
         p = rng.rand(ndof)
         rel = abs((p @ np.asarray(u, np.float64) - p @ u_ref) / (p @ u_ref))
@@ -118,7 +132,7 @@ def main():
     result = {
         "metric": (
             f"plane-stress assembly+CG time-to-solution, "
-            f"{ndof} dof, {args.dtype}, rtol={args.rtol}"
+            f"{ndof} dof, {args.dtype}, rtol={args.rtol}, {args.precond}-pcg"
         ),
         "value": round(elapsed, 4),
         "unit": "s",

@@ -1,0 +1,103 @@
+"""2D stencil operator for structured quad grids — the multigrid workhorse.
+
+The assembled matrix of a quad4 discretization couples each node only to
+its 3x3 grid neighborhood, so the operator is fully described by
+coefficient *planes* ``coeff[c, c', dy, dx][ny, nx]`` (c/c' = dof
+components, dy/dx in {0,1,2} indexing the neighbor offset - 1).  The
+matvec is then
+
+    y[c] = sum_{c', dy, dx} coeff[c, c', dy, dx] * shift(u[c'], dy, dx)
+
+— static 2D slices of a once-padded field, lanes = the x axis, no
+dynamic slicing, no scatter anywhere.  Assembly from element matrices is
+ndpe^2 strided slice-adds (same plan as ops.dia.StructuredDia2D).
+
+State vectors live as (nd, ny, nx) component planes throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["Stencil2D"]
+
+# local node (dy, dx) offsets in the structured quad element ordering
+_QUAD4_LOCAL = ((0, 0), (0, 1), (1, 1), (1, 0))
+
+
+class Stencil2D:
+    """Stencil form of a quad4-assembled operator on an (ny, nx) grid.
+
+    coeff layout: (nd, nd, 3, 3, ny, nx) — indexed [c_row, c_col,
+    dy+1, dx+1, iy, ix].
+    """
+
+    def __init__(self, nx: int, ny: int, nd: int):
+        self.nx, self.ny, self.nd = int(nx), int(ny), int(nd)
+        ndpe = 4 * nd
+        plan = []
+        for r in range(ndpe):
+            a, ca = divmod(r, nd)
+            ay, ax = _QUAD4_LOCAL[a]
+            for s in range(ndpe):
+                b, cb = divmod(s, nd)
+                by, bx = _QUAD4_LOCAL[b]
+                dy, dx = by - ay + 1, bx - ax + 1
+                plan.append((ca, cb, dy, dx, ay, ax, r, s))
+        self.plan = tuple(plan)
+
+    # -- assembly ---------------------------------------------------------
+
+    def assemble(self, Ke):
+        """(nelems, ndpe, ndpe) element matrices -> coefficient planes."""
+        ny, nx, nd = self.ny, self.nx, self.nd
+        ney, nex = ny - 1, nx - 1
+        Kg = Ke.reshape(ney, nex, Ke.shape[-2], Ke.shape[-1])
+        coeff = jnp.zeros((nd, nd, 3, 3, ny, nx), dtype=Ke.dtype)
+        for (ca, cb, dy, dx, ay, ax, r, s) in self.plan:
+            coeff = coeff.at[ca, cb, dy, dx, ay : ay + ney, ax : ax + nex].add(
+                Kg[:, :, r, s]
+            )
+        return coeff
+
+    def assemble_transposed(self, KeT):
+        """(ndpe*ndpe, nelems) layout (Pallas kernels) -> planes."""
+        ny, nx, nd = self.ny, self.nx, self.nd
+        ney, nex = ny - 1, nx - 1
+        ndpe = 4 * nd
+        Kg = KeT.reshape(ndpe * ndpe, ney, nex)
+        coeff = jnp.zeros((nd, nd, 3, 3, ny, nx), dtype=KeT.dtype)
+        for (ca, cb, dy, dx, ay, ax, r, s) in self.plan:
+            coeff = coeff.at[ca, cb, dy, dx, ay : ay + ney, ax : ax + nex].add(
+                Kg[r * ndpe + s]
+            )
+        return coeff
+
+    # -- operator ---------------------------------------------------------
+
+    def matvec(self, coeff, u):
+        """u: (nd, ny, nx) -> y: (nd, ny, nx)."""
+        nd, ny, nx = self.nd, self.ny, self.nx
+        up = jnp.pad(u, ((0, 0), (1, 1), (1, 1)))
+        ys = []
+        for c in range(nd):
+            acc = None
+            for cp in range(nd):
+                for dy in range(3):
+                    for dx in range(3):
+                        t = coeff[c, cp, dy, dx] * up[
+                            cp, dy : dy + ny, dx : dx + nx
+                        ]
+                        acc = t if acc is None else acc + t
+            ys.append(acc)
+        return jnp.stack(ys)
+
+    def bc_matvec(self, coeff, mask, u):
+        """Dirichlet mask semantics on (nd, ny, nx) fields."""
+        uz = jnp.where(mask, 0.0, u)
+        y = self.matvec(coeff, uz)
+        return jnp.where(mask, u, y)
+
+    def diagonal(self, coeff):
+        return jnp.stack([coeff[c, c, 1, 1] for c in range(self.nd)])

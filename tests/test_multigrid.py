@@ -1,0 +1,127 @@
+"""Geometric multigrid: transfers, Galerkin consistency, PCG convergence."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pyfem_gpu_testflight_tpu as fem
+from pyfem_gpu_testflight_tpu.multigrid import (
+    GMGAssembler,
+    build_elasticity_gmg,
+    build_poisson_gmg,
+    pcg,
+    prolong2d,
+    restrict2d,
+)
+from pyfem_gpu_testflight_tpu.ops.dia import (
+    interleave_to_planar,
+    planar_to_interleave,
+)
+
+
+def _to_grid(u_interleaved, nd, ny, nx):
+    return interleave_to_planar(u_interleaved, nd).reshape(nd, ny, nx)
+
+
+def _to_vec(grid, nd):
+    return planar_to_interleave(grid.reshape(-1), nd)
+
+
+def test_prolong_restrict_adjoint():
+    """<P c, f> == <c, R f> (R is the exact transpose of P)."""
+    rng = np.random.default_rng(0)
+    nyc, nxc, d = 5, 9, 2
+    nyf, nxf = 2 * nyc - 1, 2 * nxc - 1
+    c = jnp.asarray(rng.standard_normal((d, nyc, nxc)))
+    f = jnp.asarray(rng.standard_normal((d, nyf, nxf)))
+    lhs = jnp.vdot(prolong2d(c, (nyf, nxf)), f)
+    rhs = jnp.vdot(c, restrict2d(f, (nyc, nxc)))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+def test_prolong_preserves_linears():
+    """Bilinear P reproduces affine fields exactly."""
+    nyc, nxc = 5, 7
+    nyf, nxf = 2 * nyc - 1, 2 * nxc - 1
+    yc, xc = np.meshgrid(np.linspace(0, 1, nyc), np.linspace(0, 2, nxc),
+                         indexing="ij")
+    c = jnp.asarray((2.0 * xc - 3.0 * yc + 1.0)[None, :, :])
+    f = np.asarray(prolong2d(c, (nyf, nxf)))[0]
+    yf, xf = np.meshgrid(np.linspace(0, 1, nyf), np.linspace(0, 2, nxf),
+                         indexing="ij")
+    np.testing.assert_allclose(f, 2.0 * xf - 3.0 * yf + 1.0, atol=1e-12)
+
+
+def test_galerkin_consistency_poisson():
+    """Rediscretized coarse operator equals P^T A_f P on uniform grids."""
+    gmg, lf = build_poisson_gmg(17, 9, 2.0, 1.0, dtype=jnp.float64)
+    lc = gmg.levels[1]
+    nc = lc.shape[0] * lc.shape[1]
+    for j in [0, nc // 3, nc // 2, nc - 1]:
+        e = jnp.zeros(nc, jnp.float64).at[j].set(1.0).reshape(
+            1, lc.shape[0], lc.shape[1]
+        )
+        Pe = prolong2d(e, lf.shape)
+        RAPe = restrict2d(lf.op.matvec(lf.coeff, Pe), lc.shape)
+        Ae = lc.op.matvec(lc.coeff, e)
+        np.testing.assert_allclose(
+            np.asarray(RAPe).ravel(), np.asarray(Ae).ravel(), atol=1e-13
+        )
+
+
+def test_gmg_pcg_elasticity_matches_direct():
+    nx, ny = 65, 33
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                 nodal_force, dtype=jnp.float64)
+    gmg, lv0 = build_elasticity_gmg(nx, ny, float(X[:, 0].max()), 1.0,
+                                    dtype=jnp.float64)
+    rhs_g = _to_grid(jnp.asarray(model.compute_rhs()), 2, ny, nx)
+    b = jnp.where(lv0.mask, 0.0, rhs_g)
+    x, k, rn = pcg(lv0.matvec, gmg.apply, b, rtol=1e-11, maxiter=100)
+    assert int(k) < 40, f"GMG-PCG should converge fast, took {int(k)}"
+    u = _to_vec(x, 2)
+    u_ref = np.asarray(model.solve(method="direct"))
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_gmg_pcg_poisson_matches_direct():
+    nx, ny = 33, 33
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    model = fem.LinearPoisson(
+        "quad4", X, conn, dof_fixed,
+        gfunc=lambda x: 1.0 + 0.0 * x[..., 0], dtype=jnp.float64,
+    )
+    gmg, lv0 = build_poisson_gmg(nx, ny, float(X[:, 0].max()), 1.0,
+                                 dtype=jnp.float64)
+    b = jnp.where(
+        lv0.mask, 0.0, jnp.asarray(model.compute_rhs()).reshape(1, ny, nx)
+    )
+    x, k, _ = pcg(lv0.matvec, gmg.apply, b, rtol=1e-11, maxiter=60)
+    assert int(k) < 25
+    u_ref = np.asarray(model.solve(method="direct"))
+    np.testing.assert_allclose(
+        np.asarray(x).ravel(), u_ref, rtol=1e-7, atol=1e-10
+    )
+
+
+def test_gmg_with_variable_density():
+    """RAMP-penalized variable density: hierarchy still solves correctly."""
+    nx, ny = 33, 17
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                 nodal_force, p=3.0, dtype=jnp.float64)
+    rng = np.random.RandomState(0)
+    rho = 0.3 + 0.7 * rng.rand(model.nnodes)
+    asm = GMGAssembler(nx, ny, float(X[:, 0].max()), 1.0, "elasticity",
+                       p=3.0, dtype=jnp.float64)
+    gmg, lv0 = asm.assemble(jnp.asarray(rho))
+    rhs_g = _to_grid(jnp.asarray(model.compute_rhs()), 2, ny, nx)
+    b = jnp.where(lv0.mask, 0.0, rhs_g)
+    x, k, _ = pcg(lv0.matvec, gmg.apply, b, rtol=1e-11, maxiter=200)
+    u = _to_vec(x, 2)
+    u_ref = np.asarray(model.solve(method="direct", rho=jnp.asarray(rho)))
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-6, atol=1e-8)
+    assert int(k) < 80

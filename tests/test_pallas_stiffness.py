@@ -1,0 +1,66 @@
+"""Pallas element kernels match the einsum reference path (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pyfem_gpu_testflight_tpu as fem
+from pyfem_gpu_testflight_tpu.models.base import ramp
+from pyfem_gpu_testflight_tpu.ops import geometry, stiffness
+from pyfem_gpu_testflight_tpu.ops.pallas_stiffness import (
+    elasticity_stiffness_quad4,
+    poisson_stiffness_quad4,
+    transpose_xe,
+)
+
+
+def _problem(nx=19, ny=11):
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity(
+        "quad4", X, conn, dof_fixed, None, nodal_force, p=3.0,
+        dtype=jnp.float32,
+    )
+    rng = np.random.RandomState(0)
+    rho = jnp.asarray(0.2 + 0.8 * rng.rand(model.nnodes), jnp.float32)
+    rho_q = geometry.interp_to_quads(
+        model.N, jnp.take(rho, model.conn, axis=0)
+    )
+    cq = ramp(rho_q, model.p)
+    return model, cq
+
+
+def test_pallas_elasticity_matches_einsum():
+    model, cq = _problem()
+    Ke_ref = stiffness.elasticity_stiffness(
+        model.Xe, model.dN, model.wq, cq, model.mu, model.lam
+    )
+    KeT = elasticity_stiffness_quad4(
+        transpose_xe(model.Xe), jnp.transpose(cq), model.mu, model.lam,
+        tile=1024, interpret=True,
+    )
+    Ke = jnp.transpose(KeT).reshape(model.nelems, 8, 8)
+    np.testing.assert_allclose(
+        np.asarray(Ke), np.asarray(Ke_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pallas_poisson_matches_einsum():
+    model, cq = _problem()
+    Ke_ref = stiffness.poisson_stiffness(model.Xe, model.dN, model.wq, cq)
+    KeT = poisson_stiffness_quad4(
+        transpose_xe(model.Xe), jnp.transpose(cq), tile=1024, interpret=True
+    )
+    Ke = jnp.transpose(KeT).reshape(model.nelems, 4, 4)
+    np.testing.assert_allclose(
+        np.asarray(Ke), np.asarray(Ke_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pallas_padding_roundtrip():
+    """nelems not a multiple of the tile: ghost elements are sliced off."""
+    model, cq = _problem(nx=8, ny=5)  # 28 elements
+    KeT = poisson_stiffness_quad4(
+        transpose_xe(model.Xe), jnp.transpose(cq), tile=1024, interpret=True
+    )
+    assert KeT.shape == (16, model.nelems)
+    assert np.isfinite(np.asarray(KeT)).all()
