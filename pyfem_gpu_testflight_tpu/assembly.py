@@ -66,14 +66,19 @@ class SparsityPattern:
     """
 
     def __init__(self, conn_dof: np.ndarray, ndof_total: int):
+        from . import native
+
         conn_dof = np.asarray(conn_dof, dtype=np.int64)
         ndpe = conn_dof.shape[1]
         # (e, i, j) index pairs for every element-matrix entry, row-major
         # within each element like Ke.reshape(-1) — pyfem.py:838-858.
-        ii = np.repeat(conn_dof, ndpe, axis=1).ravel()
-        jj = np.tile(conn_dof, (1, ndpe)).ravel()
+        # The expansion + sorted-unique run in the native C++ helper when
+        # available (OpenMP; NumPy fallback otherwise).
+        ii, jj = native.expand_pattern(conn_dof)
         keys = ii * ndof_total + jj
-        unique_keys, seg_ids = np.unique(keys, return_inverse=True)
+        unique_keys, seg_ids = native.unique_inverse(
+            keys, rows=ii, nrows=ndof_total
+        )
         # Guarantee every diagonal entry has a slot: meshes may leave grid
         # nodes unreferenced (e.g. brick20 super-cell centers — the
         # reference notes this at pyfem.py:683); those structural zeros
