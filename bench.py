@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-6)
     ap.add_argument("--maxiter", type=int, default=200)
     ap.add_argument("--precond", choices=["gmg", "jacobi"], default="gmg")
+    ap.add_argument("--accuracy", action="store_true",
+                    help="mixed precision: float64 fine operator + CG, "
+                         "float32 GMG preconditioner (near-f64 solution)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--check", action="store_true",
                     help="compare against host scipy direct solve")
@@ -78,19 +81,74 @@ def main():
         interleave_to_planar, planar_to_interleave,
     )
 
-    def step(rho, rhs):
-        gmg, lv0 = asm.assemble(rho)
-        rhs_g = interleave_to_planar(rhs, 2).reshape(2, args.ny, args.nx)
-        b = jnp.where(lv0.mask, 0.0, rhs_g)
-        if args.precond == "gmg":
-            precond = gmg.apply
-        else:
-            precond = lambda r: lv0.inv_diag * jnp.where(lv0.mask, 0.0, r)
-        x, k, rn = multigrid.pcg(lv0.matvec, precond, b, rtol=rtol,
-                                 maxiter=maxiter)
-        return planar_to_interleave(x.reshape(-1), 2), k, rn
+    if args.accuracy:
+        # float64 fine-level operator (elementwise-unrolled assembly is
+        # the f64-safe route on TPU) + float32 V-cycle preconditioner
+        from pyfem_gpu_testflight_tpu.models.base import ramp
+        from pyfem_gpu_testflight_tpu.ops import geometry, stiffness
 
-    step_jit = jax.jit(step)
+        if args.rtol == 1e-6:  # untouched default: tighten for f64
+            rtol = 1e-11
+        st0 = asm.static_levels[0][0]
+        et = fem.get_element("quad4")
+        Xe64 = jnp.asarray(model.X_host, jnp.float64)[model.conn]
+        N64 = jnp.asarray(et.shape_vals, jnp.float64)
+        conn_d = model.conn
+        mu, lam = model.mu, model.lam
+
+        # Two jits: the f64 assembly program is large under emulation and
+        # compiles separately from the solve (one compiler OOM'd on the
+        # fused program)
+        @jax.jit
+        def assemble64(rho):
+            rho64 = rho.astype(jnp.float64)
+            rho_q = geometry.interp_to_quads(
+                N64, jnp.take(rho64, conn_d, axis=0)
+            )
+            Ke64 = stiffness.elasticity_stiffness_quad4_unrolled(
+                Xe64, ramp(rho_q, 0.0), mu, lam, et.shape_grads,
+                et.quad_wts,
+            )
+            return st0.assemble(Ke64)
+
+        def solve64(coeff64, rho, rhs):
+            gmg, lv0 = asm.assemble(rho)  # f32 preconditioner hierarchy
+            mask = lv0.mask
+            matvec = lambda u: st0.bc_matvec(coeff64, mask, u)
+            precond = lambda r: gmg.apply(
+                r.astype(jnp.float32)
+            ).astype(jnp.float64)
+            rhs_g = interleave_to_planar(rhs.astype(jnp.float64), 2).reshape(
+                2, args.ny, args.nx
+            )
+            b = jnp.where(mask, 0.0, rhs_g)
+            x, k, rn = multigrid.pcg(matvec, precond, b, rtol=rtol,
+                                     maxiter=maxiter)
+            return planar_to_interleave(x.reshape(-1), 2), k, rn
+
+        solve64_jit = jax.jit(solve64)
+
+        def step(rho, rhs):
+            coeff64 = assemble64(rho)
+            return solve64_jit(coeff64, rho, rhs)
+
+    else:
+
+        def step(rho, rhs):
+            gmg, lv0 = asm.assemble(rho)
+            rhs_g = interleave_to_planar(rhs, 2).reshape(2, args.ny, args.nx)
+            b = jnp.where(lv0.mask, 0.0, rhs_g)
+            if args.precond == "gmg":
+                precond = gmg.apply
+            else:
+                precond = lambda r: lv0.inv_diag * jnp.where(
+                    lv0.mask, 0.0, r
+                )
+            x, k, rn = multigrid.pcg(lv0.matvec, precond, b, rtol=rtol,
+                                     maxiter=maxiter)
+            return planar_to_interleave(x.reshape(-1), 2), k, rn
+
+    step_jit = step if args.accuracy else jax.jit(step)
 
     rho = jnp.full((model.nnodes,), 1.0, dtype=dtype)
     rhs = jnp.asarray(model.compute_rhs(), dtype=dtype)
@@ -129,10 +187,13 @@ def main():
         extra["pTu_rel_err_vs_scipy"] = float(rel)
         log(f"pTu rel err vs scipy: {rel:.3e}")
 
+    mode = (
+        "mixed-f64/f32" if args.accuracy else args.dtype
+    )
     result = {
         "metric": (
             f"plane-stress assembly+CG time-to-solution, "
-            f"{ndof} dof, {args.dtype}, rtol={args.rtol}, {args.precond}-pcg"
+            f"{ndof} dof, {mode}, rtol={rtol}, {args.precond}-pcg"
         ),
         "value": round(elapsed, 4),
         "unit": "s",

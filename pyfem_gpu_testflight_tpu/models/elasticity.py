@@ -31,6 +31,12 @@ def _element_jacobian(Xe, dN, N, wq, conn, rho, p, mu, lam):
 
 
 @jax.jit
+def _cq_transposed(N, conn, rho, p):
+    rho_q = geometry.interp_to_quads(N, jnp.take(rho, conn, axis=0))
+    return jnp.transpose(ramp(rho_q, p))
+
+
+@jax.jit
 def _dv_sens(Xe, dN, N, wq, conn, conn_dof, rho, p, mu, lam, phi, psi):
     nelems, nn = conn.shape
     nd = Xe.shape[-1]
@@ -66,7 +72,11 @@ class LinearElasticity(FEModel):
         nu=0.3,
         p=0.0,
         dtype=jnp.float64,
+        kernel="einsum",
     ):
+        """kernel: "einsum" (reference path, any element/dtype) or
+        "pallas" (TPU fast path; quad4 + float32 — the in-repo analogue
+        of the reference's A2DWrapper native kernels, pyfem.py:2180)."""
         ndims = np.asarray(X).shape[1]
         super().__init__(
             etype, X, conn, dof_fixed, dof_fixed_vals,
@@ -78,11 +88,29 @@ class LinearElasticity(FEModel):
         self.mu, self.lam = stiffness.lame_params(self.E, self.nu, self.ndims)
         self.nodal_force = dict(nodal_force or {})
         self._rhs = None
+        if kernel == "pallas" and (
+            self.etype.name != "quad4" or self.dtype != jnp.float32
+        ):
+            raise ValueError("kernel='pallas' requires quad4 + float32")
+        self.kernel = kernel
+        if kernel == "pallas":
+            from ..ops.pallas_stiffness import transpose_xe
+
+            self._XeT = transpose_xe(self.Xe)
 
     # -- assembly ----------------------------------------------------------
 
     def element_jacobian(self, rho=1.0):
         rho = self._as_nodal(rho)
+        if self.kernel == "pallas" and not jnp.iscomplexobj(rho):
+            from ..ops import pallas_stiffness as pk
+
+            KeT = pk.elasticity_stiffness_quad4(
+                self._XeT, _cq_transposed(self.N, self.conn, rho, self.p),
+                self.mu, self.lam,
+            )
+            nn = self.nnodes_per_elem * self.ndof_per_node
+            return jnp.transpose(KeT).reshape(self.nelems, nn, nn)
         return _element_jacobian(
             self.Xe, self.dN, self.N, self.wq, self.conn, rho, self.p,
             self.mu, self.lam,

@@ -95,6 +95,79 @@ def elasticity_stiffness(Xe, dN, wq, Cq, mu, lam):
     return Ke.reshape(nelems, nn * nd, nn * nd)
 
 
+def elasticity_stiffness_quad4_unrolled(Xe, cq, mu, lam, dN, wq):
+    """quad4 plane-stress stiffness with fully unrolled elementwise ops.
+
+    Same math as :func:`elasticity_stiffness` but expressed as scalar
+    coefficients times (nelems,) vectors — no einsums/contractions.  This
+    is the float64-safe path on TPU: f64 einsums go through a
+    memory-hungry emulation (observed 8x operand blowup), while plain
+    elementwise f64 ops lower fine.  Mirrors the Pallas kernel
+    (ops/pallas_stiffness.py) structure.
+
+    Args:
+        Xe: (nelems, 4, 2); cq: (nelems, 4) material factor.
+        dN/wq: quad4 tables (host numpy).
+
+    Returns:
+        (nelems, 8, 8).
+    """
+    dNl = [[[float(dN[q, n, k]) for k in range(2)] for n in range(4)]
+           for q in range(4)]
+    wql = [float(w) for w in wq]
+    # centroid-centered coordinates
+    xs = [Xe[:, n, 0] for n in range(4)]
+    ys = [Xe[:, n, 1] for n in range(4)]
+    xm = 0.25 * (xs[0] + xs[1] + xs[2] + xs[3])
+    ym = 0.25 * (ys[0] + ys[1] + ys[2] + ys[3])
+    xs = [x - xm for x in xs]
+    ys = [y - ym for y in ys]
+    acc = [[None] * 8 for _ in range(8)]
+    for q in range(4):
+        J = [[None, None], [None, None]]
+        for k in range(2):
+            J[0][k] = sum(dNl[q][n][k] * xs[n] for n in range(4))
+            J[1][k] = sum(dNl[q][n][k] * ys[n] for n in range(4))
+        detJ = J[0][0] * J[1][1] - J[0][1] * J[1][0]
+        inv_det = 1.0 / detJ
+        invJ = [
+            [J[1][1] * inv_det, -J[0][1] * inv_det],
+            [-J[1][0] * inv_det, J[0][0] * inv_det],
+        ]
+        G = [
+            [
+                dNl[q][n][0] * invJ[0][l] + dNl[q][n][1] * invJ[1][l]
+                for l in range(2)
+            ]
+            for n in range(4)
+        ]
+        c = cq[:, q] * (wql[q] * detJ)
+        cmu = mu * c
+        clam = lam * c
+        # symmetric: compute the upper triangle only (r <= s)
+        for n in range(4):
+            for m in range(4):
+                gg = G[n][0] * G[m][0] + G[n][1] * G[m][1]
+                for a in range(2):
+                    for b in range(2):
+                        r, s = 2 * n + a, 2 * m + b
+                        if r > s:
+                            continue
+                        term = cmu * (G[n][b] * G[m][a]) + clam * (
+                            G[n][a] * G[m][b]
+                        )
+                        if a == b:
+                            term = term + cmu * gg
+                        acc[r][s] = (
+                            term if acc[r][s] is None else acc[r][s] + term
+                        )
+    for r in range(8):
+        for s in range(r):
+            acc[r][s] = acc[s][r]
+    rows = [jnp.stack(acc[r], axis=-1) for r in range(8)]
+    return jnp.stack(rows, axis=-2)
+
+
 def poisson_dv_inner(Xe, dN, N, wq, dramp_q, phi_e, psi_e):
     """Per-(element, node) inner product for d(phi^T K psi)/d rho.
 

@@ -64,3 +64,40 @@ def test_pallas_padding_roundtrip():
     )
     assert KeT.shape == (16, model.nelems)
     assert np.isfinite(np.asarray(KeT)).all()
+
+
+def test_model_pallas_kernel_option():
+    """LinearElasticity(kernel='pallas') solves like the einsum path."""
+    import jax
+
+    creator = fem.ProblemCreator(nnodes_x=17, nnodes_y=9, element_type="quad")
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    kw = dict(dtype=jnp.float32)
+    m_ref = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                 nodal_force, **kw)
+    m_pal = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                 nodal_force, kernel="pallas", **kw)
+    # interpret mode on CPU backends
+    if jax.default_backend() == "cpu":
+        from pyfem_gpu_testflight_tpu.ops import pallas_stiffness as pk
+        import functools
+
+        orig = pk.elasticity_stiffness_quad4
+        pk_patched = functools.partial(orig, interpret=True)
+        pk.elasticity_stiffness_quad4 = pk_patched
+        try:
+            Ke = m_pal.element_jacobian()
+        finally:
+            pk.elasticity_stiffness_quad4 = orig
+    else:
+        Ke = m_pal.element_jacobian()
+    Ke_ref = m_ref.element_jacobian()
+    np.testing.assert_allclose(
+        np.asarray(Ke), np.asarray(Ke_ref), rtol=3e-5, atol=3e-5
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fem.LinearElasticity("quad4", X, conn, dof_fixed, None, nodal_force,
+                             kernel="pallas")  # f64 default -> error
