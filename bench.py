@@ -112,12 +112,22 @@ def main():
             return st0.assemble(Ke64)
 
         def solve64(coeff64, rho, rhs):
-            gmg, lv0 = asm.assemble(rho)  # f32 preconditioner hierarchy
+            gmg32, lv0 = asm.assemble(rho)  # f32-assembled hierarchy
+            # cast the hierarchy to f64 once, outside the CG loop: mixing
+            # f32/f64 casts inside the while_loop faulted the TPU runtime
+            levels64 = [
+                multigrid.Level(
+                    l.op, l.coeff.astype(jnp.float64), l.mask, l.shape, l.nd
+                )
+                for l in gmg32.levels
+            ]
+            gmg = multigrid.GMG(
+                levels64, nu_pre=asm.nu_pre, nu_post=asm.nu_post,
+                omega=asm.omega,
+            )
             mask = lv0.mask
             matvec = lambda u: st0.bc_matvec(coeff64, mask, u)
-            precond = lambda r: gmg.apply(
-                r.astype(jnp.float32)
-            ).astype(jnp.float64)
+            precond = gmg.apply
             rhs_g = interleave_to_planar(rhs.astype(jnp.float64), 2).reshape(
                 2, args.ny, args.nx
             )

@@ -131,13 +131,71 @@ class FEModel:
     def diagonal(self, Ke):
         return assembly.elem_diagonal(Ke, self.conn_dof, self.ndof)
 
-    def _solve_system(self, Ke, rhs, method="cg", rtol=1e-8):
+    def attach_structured_grid(self, nnodes_x, nnodes_y, **gmg_options):
+        """Enable the geometric-multigrid fast path (2D structured quad).
+
+        Builds a GMG hierarchy (multigrid.GMGAssembler) using this
+        model's physics and Dirichlet mask; afterwards
+        ``solve(method="gmg")`` / ``compliance(solver="gmg")`` run
+        V-cycle-preconditioned CG entirely on device.
+        """
+        from ..multigrid import GMGAssembler
+
+        assert self.etype.name == "quad4", "gmg path requires quad4 grids"
+        nd = self.ndof_per_node
+        nx, ny = int(nnodes_x), int(nnodes_y)
+        assert nx * ny == self.nnodes
+        X = self.X_host
+        # interleaved (node, comp) mask -> planar (comp, ny, nx)
+        fine_mask = (
+            np.asarray(self.bc.mask).reshape(ny * nx, nd).T.reshape(nd, ny, nx)
+        )
+        physics = "elasticity" if nd == 2 else "poisson"
+        kw = dict(p=self.p, dtype=self.dtype, fine_mask=fine_mask)
+        if physics == "elasticity":
+            kw.update(E=self.E, nu=self.nu)
+        kw.update(gmg_options)
+        self._gmg_asm = GMGAssembler(
+            nx, ny, float(X[:, 0].max()), float(X[:, 1].max()), physics, **kw
+        )
+        self._gmg_shape = (ny, nx)
+        return self
+
+    def _solve_gmg(self, rho, rhs, rtol=1e-8, maxiter=400):
+        from .. import multigrid
+        from ..ops.dia import interleave_to_planar, planar_to_interleave
+
+        ny, nx = self._gmg_shape
+        nd = self.ndof_per_node
+        gmg, lv0 = self._gmg_asm.assemble(self._as_nodal(rho))
+        rhs_g = interleave_to_planar(
+            jnp.asarray(rhs, self.dtype), nd
+        ).reshape(nd, ny, nx)
+        vals_g = interleave_to_planar(
+            self.bc.values.astype(self.dtype), nd
+        ).reshape(nd, ny, nx)
+        lift = lv0.op.matvec(lv0.coeff, jnp.where(lv0.mask, vals_g, 0.0))
+        b = jnp.where(lv0.mask, vals_g, rhs_g - lift)
+        x0 = jnp.where(lv0.mask, vals_g, 0.0)
+        x, k, rn = multigrid.pcg(
+            lv0.matvec, gmg.apply, b, rtol=rtol, maxiter=maxiter, x0=x0
+        )
+        u = planar_to_interleave(x.reshape(-1), nd)
+        return u, planar_to_interleave(b.reshape(-1), nd)
+
+    def _solve_system(self, Ke, rhs, method="cg", rtol=1e-8, rho=None):
         """Apply BCs and solve K u = rhs.
 
         Returns:
             (u, b): solution and the BC-applied rhs (used by compliance).
         """
-        assert method in ("direct", "cg", "gmres")
+        assert method in ("direct", "cg", "gmres", "gmg")
+        if method == "gmg":
+            assert getattr(self, "_gmg_asm", None) is not None, (
+                "call attach_structured_grid(nx, ny) before method='gmg'"
+            )
+            return self._solve_gmg(rho if rho is not None else 1.0, rhs,
+                                   rtol=rtol)
         if method == "direct":
             K = self.assemble_scipy(Ke)
             K, b = self.bc.apply_scipy(K, np.asarray(rhs))

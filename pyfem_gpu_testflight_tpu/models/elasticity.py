@@ -132,8 +132,10 @@ class LinearElasticity(FEModel):
     # -- solves --------------------------------------------------------------
 
     def solve(self, method="cg", rho=1.0, rtol=1e-8):
-        Ke = self.element_jacobian(rho)
-        u, _ = self._solve_system(Ke, self.compute_rhs(), method, rtol)
+        """Static solve (direct | cg | gmres | gmg)."""
+        Ke = None if method == "gmg" else self.element_jacobian(rho)
+        u, _ = self._solve_system(Ke, self.compute_rhs(), method, rtol,
+                                  rho=rho)
         return u
 
     # -- optimization functionals -------------------------------------------
@@ -141,8 +143,8 @@ class LinearElasticity(FEModel):
     def compliance(self, rho, solver="cg"):
         """Compliance c = <rhs_bc, u> and state u (pyfem.py:1797-1834)."""
         rho = self._as_nodal(rho)
-        Ke = self.element_jacobian(rho)
-        u, b = self._solve_system(Ke, self.compute_rhs(), solver)
+        Ke = None if solver == "gmg" else self.element_jacobian(rho)
+        u, b = self._solve_system(Ke, self.compute_rhs(), solver, rho=rho)
         return b.dot(u), u
 
     def compliance_grad(self, rho, u):

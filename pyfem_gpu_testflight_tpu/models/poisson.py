@@ -104,9 +104,10 @@ class LinearPoisson(FEModel):
     # -- solves --------------------------------------------------------------
 
     def solve(self, method="cg", rho=1.0, rtol=1e-8):
-        """Static solve with Dirichlet BCs (direct | cg | gmres)."""
-        Ke = self.element_jacobian(rho)
-        u, _ = self._solve_system(Ke, self.compute_rhs(), method, rtol)
+        """Static solve with Dirichlet BCs (direct | cg | gmres | gmg)."""
+        Ke = None if method == "gmg" else self.element_jacobian(rho)
+        u, _ = self._solve_system(Ke, self.compute_rhs(), method, rtol,
+                                  rho=rho)
         return u
 
     # -- optimization functionals -------------------------------------------
@@ -117,8 +118,8 @@ class LinearPoisson(FEModel):
         Mirrors pyfem.py:1032-1073; complex-step requires solver='direct'.
         """
         rho = self._as_nodal(rho)
-        Ke = self.element_jacobian(rho)
-        u, b = self._solve_system(Ke, self.compute_rhs(), solver)
+        Ke = None if solver == "gmg" else self.element_jacobian(rho)
+        u, b = self._solve_system(Ke, self.compute_rhs(), solver, rho=rho)
         if weighted:
             return b.dot(u), u
         return jnp.sum(u) / u.shape[0], u

@@ -29,14 +29,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ops.stencil import Stencil2D
+from .ops.stencil import Stencil2D, Stencil3D
 
 __all__ = [
     "Level",
     "GMG",
     "GMGAssembler",
+    "GMGAssembler3D",
     "prolong2d",
     "restrict2d",
+    "prolong3d",
+    "restrict3d",
     "build_elasticity_gmg",
     "build_poisson_gmg",
     "pcg",
@@ -93,6 +96,80 @@ def restrict2d(f, coarse_shape):
     return c
 
 
+def prolong3d(c, fine_shape):
+    """Trilinear prolongation (d, nzc, nyc, nxc) -> (d, nzf, nyf, nxf)."""
+    nzf, nyf, nxf = fine_shape
+    d = c.shape[0]
+    f = jnp.zeros((d, nzf, nyf, nxf), dtype=c.dtype)
+
+    def avg(*terms):
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s / len(terms)
+
+    # enumerate the 8 parity cases; each is the average of the coarse
+    # nodes of the containing cell face/edge/center
+    f = f.at[:, 0::2, 0::2, 0::2].set(c)
+    f = f.at[:, 1::2, 0::2, 0::2].set(avg(c[:, :-1], c[:, 1:]))
+    f = f.at[:, 0::2, 1::2, 0::2].set(avg(c[:, :, :-1], c[:, :, 1:]))
+    f = f.at[:, 0::2, 0::2, 1::2].set(avg(c[:, :, :, :-1], c[:, :, :, 1:]))
+    f = f.at[:, 1::2, 1::2, 0::2].set(
+        avg(c[:, :-1, :-1], c[:, 1:, :-1], c[:, :-1, 1:], c[:, 1:, 1:])
+    )
+    f = f.at[:, 1::2, 0::2, 1::2].set(
+        avg(c[:, :-1, :, :-1], c[:, 1:, :, :-1], c[:, :-1, :, 1:],
+            c[:, 1:, :, 1:])
+    )
+    f = f.at[:, 0::2, 1::2, 1::2].set(
+        avg(c[:, :, :-1, :-1], c[:, :, 1:, :-1], c[:, :, :-1, 1:],
+            c[:, :, 1:, 1:])
+    )
+    f = f.at[:, 1::2, 1::2, 1::2].set(
+        avg(
+            c[:, :-1, :-1, :-1], c[:, 1:, :-1, :-1], c[:, :-1, 1:, :-1],
+            c[:, :-1, :-1, 1:], c[:, 1:, 1:, :-1], c[:, 1:, :-1, 1:],
+            c[:, :-1, 1:, 1:], c[:, 1:, 1:, 1:],
+        )
+    )
+    return f
+
+
+def restrict3d(f, coarse_shape):
+    """Restriction R = prolong3d^T exactly (FEM Galerkin convention)."""
+    nzc, nyc, nxc = coarse_shape
+    d = f.shape[0]
+    c = jnp.zeros((d, nzc, nyc, nxc), dtype=f.dtype)
+    c = c + f[:, 0::2, 0::2, 0::2]
+    e = f[:, 1::2, 0::2, 0::2]
+    c = c.at[:, :-1].add(0.5 * e)
+    c = c.at[:, 1:].add(0.5 * e)
+    e = f[:, 0::2, 1::2, 0::2]
+    c = c.at[:, :, :-1].add(0.5 * e)
+    c = c.at[:, :, 1:].add(0.5 * e)
+    e = f[:, 0::2, 0::2, 1::2]
+    c = c.at[:, :, :, :-1].add(0.5 * e)
+    c = c.at[:, :, :, 1:].add(0.5 * e)
+    e = f[:, 1::2, 1::2, 0::2]
+    for sz in (slice(None, -1), slice(1, None)):
+        for sy in (slice(None, -1), slice(1, None)):
+            c = c.at[:, sz, sy].add(0.25 * e)
+    e = f[:, 1::2, 0::2, 1::2]
+    for sz in (slice(None, -1), slice(1, None)):
+        for sx in (slice(None, -1), slice(1, None)):
+            c = c.at[:, sz, :, sx].add(0.25 * e)
+    e = f[:, 0::2, 1::2, 1::2]
+    for sy in (slice(None, -1), slice(1, None)):
+        for sx in (slice(None, -1), slice(1, None)):
+            c = c.at[:, :, sy, sx].add(0.25 * e)
+    e = f[:, 1::2, 1::2, 1::2]
+    for sz in (slice(None, -1), slice(1, None)):
+        for sy in (slice(None, -1), slice(1, None)):
+            for sx in (slice(None, -1), slice(1, None)):
+                c = c.at[:, sz, sy, sx].add(0.125 * e)
+    return c
+
+
 # ---------------------------------------------------------------------------
 # Levels and the V-cycle
 # ---------------------------------------------------------------------------
@@ -129,12 +206,15 @@ class GMG:
     """V-cycle preconditioner over a list of Levels (fine -> coarse)."""
 
     def __init__(self, levels, nu_pre=2, nu_post=2, omega=0.7,
-                 coarse_iters=24):
+                 coarse_iters=24, restrict_fn=None, prolong_fn=None):
         self.levels = list(levels)
         self.nu_pre = int(nu_pre)
         self.nu_post = int(nu_post)
         self.omega = float(omega)
         self.coarse_iters = int(coarse_iters)
+        dim = len(self.levels[0].shape)
+        self.restrict_fn = restrict_fn or (restrict2d if dim == 2 else restrict3d)
+        self.prolong_fn = prolong_fn or (prolong2d if dim == 2 else prolong3d)
 
     def _smooth(self, lv: Level, x, b, niter):
         # fori_loop keeps the compiled program small (one smoother body
@@ -156,10 +236,10 @@ class GMG:
         r = b - lv.matvec(x)
         r = jnp.where(lv.mask, 0.0, r)
         coarse = self.levels[k + 1]
-        bc = restrict2d(r, coarse.shape)
+        bc = self.restrict_fn(r, coarse.shape)
         bc = jnp.where(coarse.mask, 0.0, bc)
         xc = self._cycle(k + 1, bc)
-        corr = prolong2d(xc, lv.shape)
+        corr = self.prolong_fn(xc, lv.shape)
         x = x + jnp.where(lv.mask, 0.0, corr)
         return self._smooth(lv, x, b, self.nu_post)
 
@@ -213,7 +293,10 @@ class GMGAssembler:
 
     def __init__(self, nx, ny, Lx, Ly, physics="elasticity", E=10.0, nu=0.3,
                  p=0.0, dtype=jnp.float32, nu_pre=2, nu_post=2, omega=0.7,
-                 min_n=5):
+                 min_n=5, fine_mask=None):
+        """fine_mask: optional (nd, ny, nx) bool Dirichlet mask; coarse
+        masks are derived by injection (default: clamp the x=0 column,
+        matching ProblemCreator's problem factories)."""
         from .mesh import ProblemCreator
         from .assembly import make_conn_dof
         from .elements import get_element
@@ -235,6 +318,9 @@ class GMGAssembler:
 
         self.sizes = _grid_sizes(nx, ny, min_n=min_n)
         self.static_levels = []
+        cur_mask = None
+        if fine_mask is not None:
+            cur_mask = np.asarray(fine_mask).reshape(nd, ny, nx)
         for (lnx, lny) in self.sizes:
             creator = ProblemCreator(nnodes_x=lnx, nnodes_y=lny, Lx=Lx,
                                      Ly=Ly, element_type="quad")
@@ -243,7 +329,11 @@ class GMGAssembler:
             # static-slice matvec on (nd, ny, nx) planes
             op = Stencil2D(lnx, lny, nd)
             Xe = jnp.asarray(creator.X, dtype)[conn32]
-            mask = jnp.asarray(_left_edge_mask(lnx, lny, nd))
+            if cur_mask is not None:
+                mask = jnp.asarray(cur_mask)
+                cur_mask = cur_mask[:, ::2, ::2]
+            else:
+                mask = jnp.asarray(_left_edge_mask(lnx, lny, nd))
             self.static_levels.append((op, Xe, conn32, mask, (lny, lnx)))
 
     def _elem_matrices(self, Xe, conn32, rho_flat):
@@ -331,3 +421,98 @@ def pcg(matvec, precond, b, rtol=1e-6, maxiter=500, x0=None):
 
     x, r, *_, k = jax.lax.while_loop(cond, body, (x0, r, z, pvec, rz, 0))
     return x, k, jnp.sqrt(jnp.vdot(r, r).real)
+
+
+# ---------------------------------------------------------------------------
+# 3D (hex8) hierarchy
+# ---------------------------------------------------------------------------
+
+
+def _grid_sizes_3d(nx, ny, nz, min_n=3):
+    sizes = [(nx, ny, nz)]
+    while True:
+        nxt = []
+        for n in (nx, ny, nz):
+            nxt.append((n - 1) // 2 + 1 if (n - 1) % 2 == 0 else None)
+        if any(v is None or v < min_n for v in nxt):
+            break
+        nx, ny, nz = nxt
+        sizes.append((nx, ny, nz))
+    return sizes
+
+
+def _left_face_mask(nx, ny, nz, nd):
+    """(nd, nz, ny, nx) mask: all components of the x=0 node face."""
+    mask = np.zeros((nd, nz, ny, nx), dtype=bool)
+    mask[:, :, :, 0] = True
+    return mask
+
+
+class GMGAssembler3D:
+    """3D (hex8) analogue of :class:`GMGAssembler`.
+
+    physics: "elasticity" (3D isotropic, nd=3) or "poisson" (nd=1);
+    BCs clamp the x=0 face (the create_*_problem factories' layout).
+    """
+
+    def __init__(self, nx, ny, nz, Lx, Ly, Lz, physics="elasticity",
+                 E=10.0, nu=0.3, p=0.0, dtype=jnp.float32, nu_pre=2,
+                 nu_post=2, omega=0.6, min_n=3):
+        from .mesh import ProblemCreator
+        from .elements import get_element
+        from .ops import stiffness
+
+        self.physics = physics
+        self.p = float(p)
+        self.dtype = dtype
+        self.nu_pre, self.nu_post, self.omega = nu_pre, nu_post, omega
+        nd = 3 if physics == "elasticity" else 1
+        self.nd = nd
+        if physics == "elasticity":
+            self.mu, self.lam = stiffness.lame_params(E, nu, 3)
+
+        et = get_element("hex8")
+        self.N = jnp.asarray(et.shape_vals, dtype)
+        self.dN = jnp.asarray(et.shape_grads, dtype)
+        self.wq = jnp.asarray(et.quad_wts, dtype)
+
+        self.sizes = _grid_sizes_3d(nx, ny, nz, min_n=min_n)
+        self.static_levels = []
+        for (lnx, lny, lnz) in self.sizes:
+            creator = ProblemCreator(
+                nnodes_x=lnx, nnodes_y=lny, nnodes_z=lnz, Lx=Lx, Ly=Ly,
+                Lz=Lz, element_type="block",
+            )
+            conn32 = jnp.asarray(creator.conn.astype(np.int32))
+            op = Stencil3D(lnx, lny, lnz, nd)
+            Xe = jnp.asarray(creator.X, dtype)[conn32]
+            mask = jnp.asarray(_left_face_mask(lnx, lny, lnz, nd))
+            self.static_levels.append((op, Xe, conn32, mask, (lnz, lny, lnx)))
+
+    def _elem_matrices(self, Xe, conn32, rho_flat):
+        from .models.base import ramp
+        from .ops import geometry, stiffness
+
+        rho_q = geometry.interp_to_quads(
+            self.N, jnp.take(rho_flat, conn32, axis=0)
+        )
+        Cq = ramp(rho_q, self.p)
+        if self.physics == "elasticity":
+            return stiffness.elasticity_stiffness(
+                Xe, self.dN, self.wq, Cq, self.mu, self.lam
+            )
+        return stiffness.poisson_stiffness(Xe, self.dN, self.wq, Cq)
+
+    def assemble(self, rho):
+        """Traceable: fine nodal rho -> (gmg, fine_level)."""
+        nz, ny, nx = self.static_levels[0][4]
+        rho_grid = jnp.asarray(rho, self.dtype).reshape(nz, ny, nx)
+        levels = []
+        for (op, Xe, conn32, mask, shape) in self.static_levels:
+            Ke = self._elem_matrices(Xe, conn32, rho_grid.reshape(-1))
+            coeff = op.assemble(Ke)
+            levels.append(Level(op, coeff, mask, shape, self.nd))
+            rho_grid = rho_grid[0::2, 0::2, 0::2]
+        gmg = GMG(levels, nu_pre=self.nu_pre, nu_post=self.nu_post,
+                  omega=self.omega)
+        return gmg, levels[0]

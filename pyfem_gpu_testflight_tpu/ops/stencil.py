@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["Stencil2D"]
+__all__ = ["Stencil2D", "Stencil3D"]
 
 # local node (dy, dx) offsets in the structured quad element ordering
 _QUAD4_LOCAL = ((0, 0), (0, 1), (1, 1), (1, 0))
@@ -101,3 +101,73 @@ class Stencil2D:
 
     def diagonal(self, coeff):
         return jnp.stack([coeff[c, c, 1, 1] for c in range(self.nd)])
+
+
+# hex8 local node (dz, dy, dx) offsets (mesh._hex_conn ordering)
+_HEX8_LOCAL = (
+    (0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0),
+    (1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0),
+)
+
+
+class Stencil3D:
+    """Stencil form of a hex8-assembled operator on an (nz, ny, nx) grid.
+
+    coeff layout: (nd, nd, 3, 3, 3, nz, ny, nx); state fields are
+    (nd, nz, ny, nx) component volumes.
+    """
+
+    def __init__(self, nx: int, ny: int, nz: int, nd: int):
+        self.nx, self.ny, self.nz, self.nd = int(nx), int(ny), int(nz), int(nd)
+        ndpe = 8 * nd
+        plan = []
+        for r in range(ndpe):
+            a, ca = divmod(r, nd)
+            az, ay, ax = _HEX8_LOCAL[a]
+            for s in range(ndpe):
+                b, cb = divmod(s, nd)
+                bz, by, bx = _HEX8_LOCAL[b]
+                plan.append(
+                    (ca, cb, bz - az + 1, by - ay + 1, bx - ax + 1,
+                     az, ay, ax, r, s)
+                )
+        self.plan = tuple(plan)
+
+    def assemble(self, Ke):
+        """(nelems, ndpe, ndpe) element matrices -> coefficient volumes."""
+        nz, ny, nx, nd = self.nz, self.ny, self.nx, self.nd
+        nez, ney, nex = nz - 1, ny - 1, nx - 1
+        Kg = Ke.reshape(nez, ney, nex, Ke.shape[-2], Ke.shape[-1])
+        coeff = jnp.zeros((nd, nd, 3, 3, 3, nz, ny, nx), dtype=Ke.dtype)
+        for (ca, cb, dz, dy, dx, az, ay, ax, r, s) in self.plan:
+            coeff = coeff.at[
+                ca, cb, dz, dy, dx,
+                az : az + nez, ay : ay + ney, ax : ax + nex,
+            ].add(Kg[:, :, :, r, s])
+        return coeff
+
+    def matvec(self, coeff, u):
+        """u: (nd, nz, ny, nx) -> y: (nd, nz, ny, nx)."""
+        nd, nz, ny, nx = self.nd, self.nz, self.ny, self.nx
+        up = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (1, 1)))
+        ys = []
+        for c in range(nd):
+            acc = None
+            for cp in range(nd):
+                for dz in range(3):
+                    for dy in range(3):
+                        for dx in range(3):
+                            t = coeff[c, cp, dz, dy, dx] * up[
+                                cp, dz : dz + nz, dy : dy + ny, dx : dx + nx
+                            ]
+                            acc = t if acc is None else acc + t
+            ys.append(acc)
+        return jnp.stack(ys)
+
+    def bc_matvec(self, coeff, mask, u):
+        uz = jnp.where(mask, 0.0, u)
+        y = self.matvec(coeff, uz)
+        return jnp.where(mask, u, y)
+
+    def diagonal(self, coeff):
+        return jnp.stack([coeff[c, c, 1, 1, 1] for c in range(self.nd)])

@@ -125,3 +125,104 @@ def test_gmg_with_variable_density():
     u_ref = np.asarray(model.solve(method="direct", rho=jnp.asarray(rho)))
     np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-6, atol=1e-8)
     assert int(k) < 80
+
+
+def test_gmg3d_poisson_matches_direct():
+    nx, ny, nz = 17, 9, 9
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, nnodes_z=nz,
+                                 element_type="block")
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    model = fem.LinearPoisson(
+        "hex8", X, conn, dof_fixed,
+        gfunc=lambda x: 1.0 + 0.0 * x[..., 0], dtype=jnp.float64,
+    )
+    from pyfem_gpu_testflight_tpu.multigrid import GMGAssembler3D
+
+    asm = GMGAssembler3D(
+        nx, ny, nz, float(X[:, 0].max()), float(X[:, 1].max()),
+        float(X[:, 2].max()), "poisson", dtype=jnp.float64,
+    )
+    assert len(asm.sizes) >= 3
+    gmg, lv0 = asm.assemble(jnp.ones(model.nnodes, jnp.float64))
+    b = jnp.where(
+        lv0.mask, 0.0,
+        jnp.asarray(model.compute_rhs()).reshape(1, nz, ny, nx),
+    )
+    x, k, _ = pcg(lv0.matvec, gmg.apply, b, rtol=1e-11, maxiter=60)
+    assert int(k) < 30, int(k)
+    u_ref = np.asarray(model.solve(method="direct"))
+    np.testing.assert_allclose(
+        np.asarray(x).ravel(), u_ref, rtol=1e-6, atol=1e-10
+    )
+
+
+def test_gmg3d_elasticity_matches_direct():
+    nx, ny, nz = 17, 9, 9
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, nnodes_z=nz,
+                                 element_type="block")
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity("hex8", X, conn, dof_fixed, None,
+                                 nodal_force, dtype=jnp.float64)
+    from pyfem_gpu_testflight_tpu.multigrid import GMGAssembler3D
+
+    asm = GMGAssembler3D(
+        nx, ny, nz, float(X[:, 0].max()), float(X[:, 1].max()),
+        float(X[:, 2].max()), "elasticity", dtype=jnp.float64,
+    )
+    gmg, lv0 = asm.assemble(jnp.ones(model.nnodes, jnp.float64))
+    # dof layout: planar (component-major volumes)
+    rhs = interleave_to_planar(jnp.asarray(model.compute_rhs()), 3).reshape(
+        3, nz, ny, nx
+    )
+    b = jnp.where(lv0.mask, 0.0, rhs)
+    x, k, _ = pcg(lv0.matvec, gmg.apply, b, rtol=1e-11, maxiter=120)
+    assert int(k) < 60, int(k)
+    u = planar_to_interleave(x.reshape(-1), 3)
+    u_ref = np.asarray(model.solve(method="direct"))
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_prolong3d_restrict3d_adjoint():
+    rng = np.random.default_rng(3)
+    from pyfem_gpu_testflight_tpu.multigrid import prolong3d, restrict3d
+
+    d, nzc, nyc, nxc = 3, 3, 5, 4
+    nzf, nyf, nxf = 2 * nzc - 1, 2 * nyc - 1, 2 * nxc - 1
+    c = jnp.asarray(rng.standard_normal((d, nzc, nyc, nxc)))
+    f = jnp.asarray(rng.standard_normal((d, nzf, nyf, nxf)))
+    lhs = jnp.vdot(prolong3d(c, (nzf, nyf, nxf)), f)
+    rhs = jnp.vdot(c, restrict3d(f, (nzc, nyc, nxc)))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+def test_model_gmg_method():
+    """model.solve(method='gmg') / compliance(solver='gmg') fast path."""
+    nx, ny = 49, 25
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                 nodal_force, p=3.0, dtype=jnp.float64)
+    model.attach_structured_grid(nx, ny)
+    rng = np.random.RandomState(0)
+    rho = jnp.asarray(0.3 + 0.7 * rng.rand(model.nnodes))
+    u_gmg = np.asarray(model.solve(method="gmg", rho=rho, rtol=1e-11))
+    u_ref = np.asarray(model.solve(method="direct", rho=rho))
+    np.testing.assert_allclose(u_gmg, u_ref, rtol=1e-6, atol=1e-9)
+
+    c_gmg, _ = model.compliance(rho, solver="gmg")
+    c_ref, _ = model.compliance(rho, solver="direct")
+    np.testing.assert_allclose(float(c_gmg), float(c_ref), rtol=1e-7)
+
+
+def test_model_gmg_nonzero_dirichlet():
+    nx, ny = 33, 17
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    vals = 0.3 + 0.01 * np.arange(len(dof_fixed))
+    model = fem.LinearPoisson("quad4", X, conn, dof_fixed, vals,
+                              gfunc=lambda x: 1.0 + 0 * x[..., 0],
+                              dtype=jnp.float64)
+    model.attach_structured_grid(nx, ny)
+    u_gmg = np.asarray(model.solve(method="gmg", rtol=1e-12))
+    u_ref = np.asarray(model.solve(method="direct"))
+    np.testing.assert_allclose(u_gmg, u_ref, rtol=1e-7, atol=1e-10)
