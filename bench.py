@@ -36,6 +36,10 @@ def main():
                     help="mixed precision: float64 fine operator + CG, "
                          "float32 GMG preconditioner (near-f64 solution)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--nu", type=int, default=2,
+                    help="GMG pre/post smoothing iterations")
+    ap.add_argument("--min_n", type=int, default=5,
+                    help="coarsest-grid size floor")
     ap.add_argument("--check", action="store_true",
                     help="compare against host scipy direct solve")
     ap.add_argument("--quiet", action="store_true")
@@ -70,7 +74,8 @@ def main():
         f"precond={args.precond}")
 
     asm = multigrid.GMGAssembler(
-        args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype
+        args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype,
+        nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
     )
     log(f"gmg levels: {asm.sizes}")
     maxiter, rtol = args.maxiter, args.rtol
@@ -165,8 +170,13 @@ def main():
 
     log("compiling...")
     t0 = time.time()
-    u, iters, resnorm = step_jit(rho, rhs)
-    u.block_until_ready()
+    try:
+        u, iters, resnorm = step_jit(rho, rhs)
+        u.block_until_ready()
+    except Exception as e:  # transient device faults: one retry
+        log(f"first run failed ({type(e).__name__}); retrying once...")
+        u, iters, resnorm = step_jit(rho, rhs)
+        u.block_until_ready()
     log(f"compile+first run: {time.time()-t0:.1f}s "
         f"iters={int(iters)} resnorm={float(resnorm):.3e}")
 

@@ -25,7 +25,8 @@ def main():
     p.add_argument("--prefix", default="results")
     p.add_argument("--max_iterations", type=int, default=200)
     p.add_argument("--fixed_volume", type=float, default=0.4)
-    p.add_argument("--solver", default="cg", choices=["direct", "cg", "gmres"])
+    p.add_argument("--solver", default="cg",
+                   choices=["direct", "cg", "gmres", "gmg"])
     p.add_argument("--timer_threshold", type=float, default=10.0)
     args = p.parse_args()
 
@@ -53,6 +54,10 @@ def main():
         )
 
     filtr = fem.Helmholtz(args.r0, args.element_type, X, conn)
+
+    if args.solver == "gmg":
+        assert args.element_type == "quad", "gmg solver requires quad grids"
+        model.attach_structured_grid(128, 64)
 
     prob = TopoProblem(model, filtr, fixed_volume=args.fixed_volume,
                        solver=args.solver)

@@ -114,3 +114,14 @@ class InpParser:
 def parse_inp(inp_name):
     """Functional convenience wrapper."""
     return InpParser(inp_name).parse()
+
+
+if __name__ == "__main__":  # CLI parity with parse_inp.py:232-238
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("inp", type=str, metavar="[inp file]")
+    args = ap.parse_args()
+    parser = InpParser(args.inp)
+    parser.parse()
+    parser.to_vtk()
