@@ -49,6 +49,41 @@ class Helmholtz(FEModel):
         self._inv_diag = 1.0 / self.diagonal(self.Ke)
         self._lu = None  # lazy host factorization for solver="direct"
 
+    # -- structured fast path ---------------------------------------------
+
+    def attach_structured_grid(self, nnodes_x, nnodes_y):
+        """Stencil-operator fast path for structured quad grids.
+
+        apply()/apply_gradient() then run shifted-slice matvecs + jitted
+        CG instead of gather/scatter SpMV (~40x faster on TPU).
+        """
+        from ..ops.stencil import Stencil2D
+
+        assert self.etype.name == "quad4"
+        nx, ny = int(nnodes_x), int(nnodes_y)
+        assert nx * ny == self.nnodes
+        st = Stencil2D(nx, ny, 1)
+        self._st = st
+        self._st_shape = (ny, nx)
+        self._coeffK = st.assemble(self.Ke)
+        self._coeffR = st.assemble(self.Re)
+        diag = st.diagonal(self._coeffK)
+        self._st_inv_diag = 1.0 / jnp.where(diag == 0, 1.0, diag)
+        return self
+
+    def _stencil_solve_K(self, b_grid):
+        from ..multigrid import pcg
+
+        st = self._st
+        x, _, _ = pcg(
+            lambda u: st.matvec(self._coeffK, u),
+            lambda r: self._st_inv_diag * r,
+            b_grid,
+            rtol=self.rtol,
+            maxiter=10 * self.ndof,
+        )
+        return x
+
     # -- core ops ------------------------------------------------------------
 
     def _solve_K(self, b):
@@ -69,11 +104,20 @@ class Helmholtz(FEModel):
     def apply(self, x):
         """x -> rho = K^-1 R x."""
         x = jnp.asarray(x, dtype=self.dtype)
+        if getattr(self, "_st", None) is not None:
+            ny, nx = self._st_shape
+            xg = x.reshape(1, ny, nx)
+            rho = self._stencil_solve_K(self._st.matvec(self._coeffR, xg))
+            return rho.reshape(-1)
         return self._solve_K(self.matvec(self.Re, x))
 
     def apply_gradient(self, gradrho):
         """d rho/d x transpose: g -> R^T K^-1 g (R is symmetric here)."""
         g = jnp.asarray(gradrho, dtype=self.dtype)
+        if getattr(self, "_st", None) is not None:
+            ny, nx = self._st_shape
+            z = self._stencil_solve_K(g.reshape(1, ny, nx))
+            return self._st.matvec(self._coeffR, z).reshape(-1)
         return self.matvec(self.Re, self._solve_K(g))
 
     def compute_rhs(self, x):

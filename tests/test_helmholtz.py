@@ -43,3 +43,24 @@ def test_filter_preserves_integral():
     before = R.dot(x).sum()
     after = R.dot(rho).sum()
     np.testing.assert_allclose(after, before, rtol=1e-8)
+
+
+def test_helmholtz_structured_fast_path_matches():
+    """attach_structured_grid: stencil filter == gather/scatter filter."""
+    nx, ny = 24, 18
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
+    conn, X, x = creator.create_helmholtz_problem()
+    slow = fem.Helmholtz(0.08, "quad4", X, conn, rtol=1e-12)
+    fast = fem.Helmholtz(0.08, "quad4", X, conn, rtol=1e-12)
+    fast.attach_structured_grid(nx, ny)
+    rng = np.random.RandomState(0)
+    g = rng.rand(x.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(fast.apply(x)), np.asarray(slow.apply(x)),
+        rtol=1e-8, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.apply_gradient(g)),
+        np.asarray(slow.apply_gradient(g)),
+        rtol=1e-8, atol=1e-10,
+    )
