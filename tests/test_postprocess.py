@@ -121,3 +121,38 @@ def test_solve_adjoint_consistency():
     psi = np.asarray(post.solve_adjoint(model, rhs, method="direct"))
     psi_cg = np.asarray(post.solve_adjoint(model, rhs, method="cg", rtol=1e-12))
     np.testing.assert_allclose(psi_cg, psi, rtol=1e-7, atol=1e-9)
+
+
+def test_ks_total_design_gradient_complex_step():
+    """Full KS(u(rho)) design gradient: adjoint chain vs complex step.
+
+    Exercises the complete ref_linear_poisson.py KS workflow: aggregate,
+    adjoint rhs, adjoint solve, dKdrho chain rule.
+    """
+    from scipy.sparse.linalg import spsolve
+
+    creator = fem.ProblemCreator(nnodes_x=10, nnodes_y=10)
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    model = fem.LinearPoisson(
+        "quad4", X, conn, dof_fixed, gfunc=lambda x: 1 + 0 * x[..., 0], p=2.0
+    )
+    rng = np.random.RandomState(0)
+    rho = rng.rand(model.nnodes)
+    pvec = rng.rand(model.nnodes)
+    pval = 10.0
+
+    _, u = model.compliance(jnp.asarray(rho), solver="direct")
+    dKs_du = post.ks_adjoint_rhs(model, u, pval)
+    psi = post.solve_adjoint(
+        model, model.bc.zero_fixed(dKs_du), rho=jnp.asarray(rho),
+        method="direct",
+    )
+    grad = -np.asarray(model.k_dv_sens(rho, psi, u))
+
+    h = 1e-30
+    K = model.compute_jacobian(jnp.asarray(rho) + 1j * h * jnp.asarray(pvec))
+    rhs = np.asarray(model.compute_rhs())
+    Kbc, rhsbc = model.bc.apply_scipy(K, rhs)
+    ucs = spsolve(Kbc, rhsbc)
+    fd = complex(post.ks_aggregate(model, jnp.asarray(ucs), pval)).imag / h
+    assert abs(pvec.dot(grad) - fd) / abs(fd) < 1e-12
