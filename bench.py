@@ -86,14 +86,15 @@ def main():
         interleave_to_planar, planar_to_interleave,
     )
 
-    if args.accuracy:
-        # float64 fine-level operator (elementwise-unrolled assembly is
-        # the f64-safe route on TPU) + float32 V-cycle preconditioner
+    # -- accuracy (mixed f64/f32) step ------------------------------------
+    # float64 fine-level operator (elementwise-unrolled assembly is the
+    # f64-safe route on TPU) + V-cycle preconditioner assembled in f32
+    # and cast to f64 once per solve
+    def make_accuracy_step():
         from pyfem_gpu_testflight_tpu.models.base import ramp
         from pyfem_gpu_testflight_tpu.ops import geometry, stiffness
 
-        if args.rtol == 1e-6:  # untouched default: tighten for f64
-            rtol = 1e-11
+        rtol64 = 1e-11 if args.rtol == 1e-6 else args.rtol
         st0 = asm.static_levels[0][0]
         et = fem.get_element("quad4")
         Xe64 = jnp.asarray(model.X_host, jnp.float64)[model.conn]
@@ -137,7 +138,7 @@ def main():
                 2, args.ny, args.nx
             )
             b = jnp.where(mask, 0.0, rhs_g)
-            x, k, rn = multigrid.pcg(matvec, precond, b, rtol=rtol,
+            x, k, rn = multigrid.pcg(matvec, precond, b, rtol=rtol64,
                                      maxiter=maxiter)
             return planar_to_interleave(x.reshape(-1), 2), k, rn
 
@@ -147,8 +148,9 @@ def main():
             coeff64 = assemble64(rho)
             return solve64_jit(coeff64, rho, rhs)
 
-    else:
+        return step, rtol64
 
+    def make_speed_step():
         def step(rho, rhs):
             gmg, lv0 = asm.assemble(rho)
             rhs_g = interleave_to_planar(rhs, 2).reshape(2, args.ny, args.nx)
@@ -163,34 +165,54 @@ def main():
                                      maxiter=maxiter)
             return planar_to_interleave(x.reshape(-1), 2), k, rn
 
-    step_jit = step if args.accuracy else jax.jit(step)
+        return jax.jit(step)
 
     rho = jnp.full((model.nnodes,), 1.0, dtype=dtype)
     rhs = jnp.asarray(model.compute_rhs(), dtype=dtype)
 
-    log("compiling...")
-    t0 = time.time()
-    try:
-        u, iters, resnorm = step_jit(rho, rhs)
-        u.block_until_ready()
-    except Exception as e:  # transient device faults: one retry
-        log(f"first run failed ({type(e).__name__}); retrying once...")
-        u, iters, resnorm = step_jit(rho, rhs)
-        u.block_until_ready()
-    log(f"compile+first run: {time.time()-t0:.1f}s "
-        f"iters={int(iters)} resnorm={float(resnorm):.3e}")
-
-    times = []
-    for _ in range(args.repeats):
+    def time_step(step_fn, label):
+        log(f"[{label}] compiling...")
         t0 = time.time()
-        u, iters, resnorm = step_jit(rho, rhs)
-        u.block_until_ready()
-        times.append(time.time() - t0)
-    elapsed = float(np.median(times))
-    log(f"times={['%.3f' % t for t in times]} iters={int(iters)} "
-        f"resnorm={float(resnorm):.3e}")
+        try:
+            u, iters, resnorm = step_fn(rho, rhs)
+            u.block_until_ready()
+        except Exception as e:  # transient device faults: one retry
+            log(f"[{label}] first run failed ({type(e).__name__}); retry...")
+            u, iters, resnorm = step_fn(rho, rhs)
+            u.block_until_ready()
+        log(f"[{label}] compile+first run: {time.time()-t0:.1f}s "
+            f"iters={int(iters)} resnorm={float(resnorm):.3e}")
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            u, iters, resnorm = step_fn(rho, rhs)
+            u.block_until_ready()
+            times.append(time.time() - t0)
+        elapsed = float(np.median(times))
+        log(f"[{label}] times={['%.3f' % t for t in times]} "
+            f"iters={int(iters)} resnorm={float(resnorm):.3e}")
+        return elapsed, int(iters), float(resnorm), u
 
     extra = {}
+    if args.accuracy:
+        step, rtol = make_accuracy_step()
+        elapsed, iters, resnorm, u = time_step(step, "accuracy")
+    else:
+        elapsed, iters, resnorm, u = time_step(make_speed_step(), "speed")
+        if args.precond == "gmg":
+            # also report the mixed-precision accuracy mode (same dofs)
+            try:
+                acc_step, acc_rtol = make_accuracy_step()
+                acc_t, acc_k, acc_rn, acc_u = time_step(acc_step, "accuracy")
+                extra.update(
+                    accuracy_mode_s=round(acc_t, 4),
+                    accuracy_mode_iters=acc_k,
+                    accuracy_mode_rtol=acc_rtol,
+                )
+            except Exception as e:
+                acc_u = None
+                log(f"accuracy-mode extra failed: {type(e).__name__}")
+
     if args.check:
         log("host scipy check...")
         # float64 oracle entirely on CPU (f64 einsums on TPU are emulated
@@ -206,6 +228,14 @@ def main():
         rel = abs((p @ np.asarray(u, np.float64) - p @ u_ref) / (p @ u_ref))
         extra["pTu_rel_err_vs_scipy"] = float(rel)
         log(f"pTu rel err vs scipy: {rel:.3e}")
+        if not args.accuracy and extra.get("accuracy_mode_s") and (
+            acc_u is not None
+        ):
+            rel_a = abs(
+                (p @ np.asarray(acc_u, np.float64) - p @ u_ref) / (p @ u_ref)
+            )
+            extra["accuracy_mode_pTu_rel_err"] = float(rel_a)
+            log(f"accuracy-mode pTu rel err vs scipy: {rel_a:.3e}")
 
     mode = (
         "mixed-f64/f32" if args.accuracy else args.dtype
