@@ -193,3 +193,68 @@ class LinearElasticity(_CompatMixin, _elasticity.LinearElasticity):
 class Helmholtz(_CompatMixin, _helmholtz.Helmholtz):
     def __init__(self, r0, X, conn, quadrature, basis):
         super().__init__(r0, _etype_of(basis), X, conn)
+
+
+# ---------------------------------------------------------------------------
+# utils.py surface (reference utils.py:154-298): out-argument style
+# element/geometry helpers on NumPy arrays
+# ---------------------------------------------------------------------------
+
+
+def scatter_node_to_elem(conn, data, data_e):
+    """data_e[...] = data[conn] (utils.py:155-168)."""
+    data_e[...] = np.asarray(data)[np.asarray(conn)]
+
+
+def compute_jtrans(Xe, Nderiv, Jq):
+    """Jq[e,q,i,k] = dx_i/dxi_k (utils.py:172-185)."""
+    Jq[...] = np.einsum("qnk,eni->eqik", np.asarray(Nderiv), np.asarray(Xe))
+
+
+def compute_jdet(Jq, detJq):
+    """detJq = det(Jq) (utils.py:189-200)."""
+    detJq[...] = np.linalg.det(np.asarray(Jq))
+
+
+def compute_elem_interp(N, data_e, data_q):
+    """Interpolate nodal element data to quads (utils.py:204-221)."""
+    N = np.asarray(N)
+    data_e = np.asarray(data_e)
+    if data_e.ndim == 2:
+        data_q[...] = np.einsum("qn,en->eq", N, data_e)
+    else:
+        data_q[...] = np.einsum("qn,enk->eqk", N, data_e)
+
+
+def compute_basis_grad(Jq, detJq, Nderiv, invJq, Ngrad):
+    """Physical shape gradients + Jacobian inverse (utils.py:225-264)."""
+    from .ops import geometry as _geo
+    import jax.numpy as _jnp
+
+    det, inv = _geo.det_and_inv(_jnp.asarray(Jq))
+    invJq[...] = np.asarray(inv)
+    Ngrad[...] = np.einsum("qnm,eqmi->eqni", np.asarray(Nderiv), invJq)
+
+
+def create_dof(nnodes, nelems, nnodes_per_elem, ndof_per_node, conn):
+    """(dof, dof_each_node, conn_dof) with interleaved components
+    (utils.py:268-298)."""
+    from .assembly import make_conn_dof
+
+    nodes = np.arange(nnodes)
+    if ndof_per_node == 1:
+        return nodes, nodes, np.asarray(conn)
+    dof = np.arange(nnodes * ndof_per_node)
+    dof_each_node = dof.reshape(nnodes, ndof_per_node)
+    conn_dof = make_conn_dof(np.asarray(conn), ndof_per_node)
+    return dof, dof_each_node, conn_dof
+
+
+__all__ += [
+    "compute_basis_grad",
+    "compute_elem_interp",
+    "compute_jdet",
+    "compute_jtrans",
+    "create_dof",
+    "scatter_node_to_elem",
+]

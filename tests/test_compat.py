@@ -78,3 +78,46 @@ def test_reference_style_nonlinear():
     x = np.ones(10) / 10
     u = np.asarray(assembler.solve_nonlinear(method="gmres", xdv=x))
     assert np.isfinite(u).all() and np.abs(u).max() > 0
+
+
+def test_utils_surface():
+    """Reference utils.py-style out-arg helpers work on numpy arrays."""
+    import pyfem_gpu_testflight_tpu as fem
+
+    creator = pyfem.ProblemCreator(nnodes_x=5, nnodes_y=4)
+    conn, X, _ = creator.create_poisson_problem()
+    et = fem.get_element("quad4")
+    nelems, nn = conn.shape
+    nq, nd = et.nquads, 2
+
+    Xe = np.zeros((nelems, nn, nd))
+    pyfem.scatter_node_to_elem(conn, X, Xe)
+    np.testing.assert_array_equal(Xe, X[conn])
+
+    Jq = np.zeros((nelems, nq, nd, nd))
+    pyfem.compute_jtrans(Xe, et.shape_grads, Jq)
+    detJq = np.zeros((nelems, nq))
+    pyfem.compute_jdet(Jq, detJq)
+    assert (detJq > 0).all()
+
+    invJq = np.zeros_like(Jq)
+    Ngrad = np.zeros((nelems, nq, nn, nd))
+    pyfem.compute_basis_grad(Jq, detJq, et.shape_grads, invJq, Ngrad)
+    # invJq really inverts Jq
+    eye = np.einsum("eqij,eqjk->eqik", Jq, invJq)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(2), eye.shape),
+                               atol=1e-12)
+    # gradients of a linear field are exact
+    u = X @ np.array([2.0, -3.0])
+    ue = u[conn]
+    gu = np.einsum("eqnl,en->eql", Ngrad, ue)
+    np.testing.assert_allclose(gu, np.broadcast_to([2.0, -3.0], gu.shape),
+                               atol=1e-12)
+
+    data_q = np.zeros((nelems, nq))
+    pyfem.compute_elem_interp(et.shape_vals, ue, data_q)
+    assert data_q.shape == (nelems, nq)
+
+    dof, den, cdof = pyfem.create_dof(X.shape[0], nelems, nn, 2, conn)
+    assert cdof.shape == (nelems, 2 * nn)
+    np.testing.assert_array_equal(cdof[:, 0::2], 2 * conn)
