@@ -101,3 +101,21 @@ def test_model_pallas_kernel_option():
     with pytest.raises(ValueError):
         fem.LinearElasticity("quad4", X, conn, dof_fixed, None, nodal_force,
                              kernel="pallas")  # f64 default -> error
+
+
+def test_pallas_stencil_matvec_matches_xla():
+    from pyfem_gpu_testflight_tpu.multigrid import GMGAssembler
+    from pyfem_gpu_testflight_tpu.ops.pallas_stencil import stencil_matvec_2d
+
+    nx, ny = 33, 21
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny)
+    conn, X, fixed, force = creator.create_linear_elasticity_problem()
+    asm = GMGAssembler(nx, ny, float(X[:, 0].max()), 1.0, "elasticity",
+                       dtype=jnp.float32)
+    gmg, lv0 = asm.assemble(jnp.ones(nx * ny, jnp.float32))
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32)
+    y_ref = lv0.op.matvec(lv0.coeff, u)
+    y_pal = stencil_matvec_2d(lv0.coeff, u, ty=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
