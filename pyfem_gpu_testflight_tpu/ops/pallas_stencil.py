@@ -83,7 +83,7 @@ def stencil_matvec_2d(coeff, u, ty=16, interpret=False):
         kern,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # whole padded field (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # whole padded field (HBM)
             pl.BlockSpec(
                 (nd * nd * 9, ty, nx),
                 lambda i: (i * 0, i, i * 0),
