@@ -1,0 +1,87 @@
+"""Sharded geometric multigrid vs the single-device solver.
+
+Runs on the 8-device virtual CPU mesh (tests/conftest.py).  The sharded
+V-cycle computes the same math as the unsharded one (haloed stencil
+matvec, haloed stride-2 tent conv transfers, replicated coarse tail), so
+PCG must produce the same iterates to roundoff — the test gates the
+solution match at 1e-10 in float64.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pyfem_gpu_testflight_tpu as fem
+from pyfem_gpu_testflight_tpu import multigrid
+from pyfem_gpu_testflight_tpu.ops.dia import interleave_to_planar
+from pyfem_gpu_testflight_tpu.parallel import ShardedGMG2D, make_mesh
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _problem(nx, ny, dtype):
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity(
+        "quad4", X, conn, dof_fixed, None, nodal_force, p=3.0, dtype=dtype
+    )
+    return model, float(X[:, 0].max()), float(X[:, 1].max())
+
+
+@pytest.mark.parametrize("n_sharded", [1, None])
+def test_sharded_gmg_matches_single_device(n_sharded):
+    nx, ny = 65, 33
+    dtype = jnp.float64
+    model, Lx, Ly = _problem(nx, ny, dtype)
+    rng = np.random.RandomState(0)
+    rho = jnp.asarray(0.4 + 0.5 * rng.rand(model.nnodes), dtype)
+    rhs = jnp.asarray(model.compute_rhs(), dtype)
+    b = interleave_to_planar(rhs, 2).reshape(2, ny, nx)
+
+    mesh = make_mesh(8)
+    sgmg = ShardedGMG2D(
+        mesh, nx, ny, Lx, Ly, "elasticity", p=3.0, dtype=dtype,
+        n_sharded=n_sharded,
+    )
+    x, k, rn = sgmg.solve(rho, b, rtol=1e-11, maxiter=300)
+
+    asm = multigrid.GMGAssembler(nx, ny, Lx, Ly, "elasticity", p=3.0,
+                                 dtype=dtype)
+
+    @jax.jit
+    def ref_step(rho):
+        gmg, lv0 = asm.assemble(rho)
+        bb = jnp.where(lv0.mask, 0.0, b)
+        return multigrid.pcg(lv0.matvec, gmg.apply, bb, rtol=1e-11,
+                             maxiter=300)
+
+    xr, kr, _ = ref_step(rho)
+    rel = float(jnp.linalg.norm(x - xr) / jnp.linalg.norm(xr))
+    assert rel < 1e-10, rel
+    # identical math => identical iteration counts (roundoff aside)
+    assert abs(int(k) - int(kr)) <= 1
+
+
+def test_sharded_gmg_poisson():
+    nx, ny = 33, 17
+    dtype = jnp.float64
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny,
+                                 element_type="quad")
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    model = fem.LinearPoisson(
+        "quad4", X, conn, dof_fixed, None,
+        gfunc=lambda x: jnp.ones(x.shape[:-1], x.dtype), dtype=dtype,
+    )
+    Lx, Ly = float(X[:, 0].max()), float(X[:, 1].max())
+    rhs = jnp.asarray(model.compute_rhs(), dtype)
+    b = rhs.reshape(1, ny, nx)
+
+    mesh = make_mesh(8)
+    sgmg = ShardedGMG2D(mesh, nx, ny, Lx, Ly, "poisson", dtype=dtype)
+    x, k, rn = sgmg.solve(jnp.ones(model.nnodes, dtype), b, rtol=1e-11,
+                          maxiter=200)
+
+    u_ref = np.asarray(model.solve(method="direct"), np.float64)
+    rel = np.linalg.norm(np.asarray(x).reshape(-1) - u_ref) / np.linalg.norm(u_ref)
+    assert rel < 1e-9, rel
