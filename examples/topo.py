@@ -54,6 +54,9 @@ def main():
         )
 
     filtr = fem.Helmholtz(args.r0, args.element_type, X, conn)
+    if args.element_type == "quad":
+        # stencil fast path for the two filter solves per MMA iteration
+        filtr.attach_structured_grid(128, 64)
 
     if args.solver == "gmg":
         assert args.element_type == "quad", "gmg solver requires quad grids"

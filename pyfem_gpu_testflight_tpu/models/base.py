@@ -24,6 +24,26 @@ from ..ops import geometry
 __all__ = ["FEModel", "ramp", "ramp_deriv"]
 
 
+def _check_converged(method, resnorm, tol, iters=None, slack=10.0):
+    """Raise on a stalled iterative solve (pyfem.py:1067, 2421-2422).
+
+    The reference raises RuntimeError when scipy cg/gmres return a
+    nonzero code, i.e. when the tolerance was not met within maxiter.
+    Here the residual norm is checked directly (one host sync at the
+    public solve boundary).  ``slack`` tolerates the last-iteration
+    rounding between the loop's squared-norm test and this recheck —
+    gmres in particular reports through a final matvec.
+    """
+    rn = float(resnorm)
+    t = float(tol)
+    if not np.isfinite(rn) or rn > slack * max(t, 1e-300):
+        it = "" if iters is None else f" after {int(iters)} iterations"
+        raise RuntimeError(
+            f"{method} failed to converge{it}: ||r|| = {rn:.3e} > "
+            f"tolerance {t:.3e}"
+        )
+
+
 def ramp(rho_q, p):
     """RAMP penalization factor rho / (1 + p (1 - rho)) (pyfem.py:1300)."""
     return rho_q / (1.0 + p * (1.0 - rho_q))
@@ -180,10 +200,12 @@ class FEModel:
         x, k, rn = multigrid.pcg(
             lv0.matvec, gmg.apply, b, rtol=rtol, maxiter=maxiter, x0=x0
         )
+        _check_converged("gmg-pcg", rn, rtol * jnp.linalg.norm(b), k)
         u = planar_to_interleave(x.reshape(-1), nd)
         return u, planar_to_interleave(b.reshape(-1), nd)
 
-    def _solve_system(self, Ke, rhs, method="cg", rtol=1e-8, rho=None):
+    def _solve_system(self, Ke, rhs, method="cg", rtol=1e-8, rho=None,
+                      maxiter=None):
         """Apply BCs and solve K u = rhs.
 
         Returns:
@@ -210,13 +232,21 @@ class FEModel:
         # unit entries at fixed dofs; guard unreferenced dofs (zero rows)
         inv_diag = 1.0 / jnp.where(self.bc.mask | (diag == 0), 1.0, diag)
         if method == "cg":
-            u = solvers.cg(
-                assembly.bc_elem_matvec, data, b, inv_diag=inv_diag, rtol=rtol
-            ).x
+            res = solvers.cg(
+                assembly.bc_elem_matvec, data, b, inv_diag=inv_diag,
+                rtol=rtol, maxiter=maxiter,
+            )
+            _check_converged(
+                "cg", res.resnorm, rtol * jnp.linalg.norm(b), res.iters
+            )
+            u = res.x
         else:
             u = solvers.gmres(
-                assembly.bc_elem_matvec, data, b, inv_diag=inv_diag, rtol=rtol
+                assembly.bc_elem_matvec, data, b, inv_diag=inv_diag,
+                rtol=rtol, maxiter=maxiter,
             )
+            rn = jnp.linalg.norm(b - assembly.bc_elem_matvec(data, u))
+            _check_converged("gmres", rn, rtol * jnp.linalg.norm(b))
         return u, b
 
     def _as_nodal(self, rho):

@@ -131,11 +131,11 @@ class LinearElasticity(FEModel):
 
     # -- solves --------------------------------------------------------------
 
-    def solve(self, method="cg", rho=1.0, rtol=1e-8):
+    def solve(self, method="cg", rho=1.0, rtol=1e-8, maxiter=None):
         """Static solve (direct | cg | gmres | gmg)."""
         Ke = None if method == "gmg" else self.element_jacobian(rho)
         u, _ = self._solve_system(Ke, self.compute_rhs(), method, rtol,
-                                  rho=rho)
+                                  rho=rho, maxiter=maxiter)
         return u
 
     # -- optimization functionals -------------------------------------------

@@ -103,11 +103,11 @@ class LinearPoisson(FEModel):
 
     # -- solves --------------------------------------------------------------
 
-    def solve(self, method="cg", rho=1.0, rtol=1e-8):
+    def solve(self, method="cg", rho=1.0, rtol=1e-8, maxiter=None):
         """Static solve with Dirichlet BCs (direct | cg | gmres | gmg)."""
         Ke = None if method == "gmg" else self.element_jacobian(rho)
         u, _ = self._solve_system(Ke, self.compute_rhs(), method, rtol,
-                                  rho=rho)
+                                  rho=rho, maxiter=maxiter)
         return u
 
     # -- optimization functionals -------------------------------------------
@@ -124,15 +124,20 @@ class LinearPoisson(FEModel):
             return b.dot(u), u
         return jnp.sum(u) / u.shape[0], u
 
-    def compliance_grad(self, rho, u, weighted=True):
-        """Adjoint gradient of compliance w.r.t. nodal rho (pyfem.py:1075)."""
+    def compliance_grad(self, rho, u, weighted=True, solver="cg"):
+        """Adjoint gradient of compliance w.r.t. nodal rho (pyfem.py:1075).
+
+        Unlike the reference (which hardcodes spsolve for the unweighted
+        adjoint, pyfem.py:1098), the extra adjoint solve honors the
+        caller's solver so the optimization loop stays on device.
+        """
         rho = self._as_nodal(rho)
         if weighted:
             psi = u  # self-adjoint
         else:
-            Ke = self.element_jacobian(rho)
+            Ke = None if solver == "gmg" else self.element_jacobian(rho)
             rhs = jnp.ones(self.ndof, dtype=self.dtype)
-            psi, _ = self._solve_system(Ke, rhs, "direct")
+            psi, _ = self._solve_system(Ke, rhs, solver, rho=rho)
             psi = psi / self.ndof
         return -self.k_dv_sens(rho, psi, u)
 

@@ -147,23 +147,31 @@ def gmres(
     atol=0.0,
     maxiter=None,
 ):
-    """Jacobi-preconditioned GMRES via jax.scipy (for nonsymmetric K)."""
+    """Jacobi-preconditioned GMRES via jax.scipy (for nonsymmetric K).
+
+    The system is solved in unit-rhs normalization: jax's GMRES has
+    absolute epsilon floors in its projection arithmetic, so tiny-norm
+    right-hand sides (late Newton steps) stall orders of magnitude above
+    the requested *relative* tolerance unless b is rescaled to O(1).
+    """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     M = None
     if inv_diag is not None:
         M = lambda v: inv_diag * v
+    normb = jnp.linalg.norm(b)
+    scale = jnp.where(normb > 0, normb, 1.0)
     x, _ = jax.scipy.sparse.linalg.gmres(
         lambda v: apply_fn(data, v),
-        b,
-        x0=x0,
+        b / scale,
+        x0=x0 / scale,
         tol=rtol,
         atol=atol,
         M=M,
         maxiter=maxiter,
         solve_method="batched",
     )
-    return x
+    return x * scale
 
 
 def direct_solve(K_csr, rhs):
