@@ -24,8 +24,78 @@ import time
 import numpy as np
 
 
+def run_3d(args, log):
+    """hex8 3D elasticity GMG-PCG at ~0.8M dof (SciTech hex-sweep role)."""
+    import jax
+    import jax.numpy as jnp
+    import pyfem_gpu_testflight_tpu as fem
+    from pyfem_gpu_testflight_tpu import multigrid
+    from pyfem_gpu_testflight_tpu.ops.dia import (
+        interleave_to_planar, planar_to_interleave,
+    )
+
+    n = args.n3d
+    dtype = jnp.dtype(args.dtype)
+    creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                 element_type="block")
+    conn, X, dof_fixed, nodal_force = (
+        creator.create_linear_elasticity_problem()
+    )
+    model = fem.LinearElasticity("hex8", X, conn, dof_fixed, None,
+                                 nodal_force, p=0.0, dtype=dtype)
+    Lx, Ly, Lz = (float(X[:, k].max()) for k in range(3))
+    log(f"3d: ndof={model.ndof} nelems={model.nelems} dtype={dtype}")
+    asm = multigrid.GMGAssembler3D(
+        n, n, n, Lx, Ly, Lz, "elasticity", p=0.0, dtype=dtype,
+        nu_pre=args.nu, nu_post=args.nu,
+    )
+    log(f"3d gmg levels: {asm.sizes}")
+
+    @jax.jit
+    def step(rho, rhs):
+        gmg, lv0 = asm.assemble(rho)
+        b = jnp.where(
+            lv0.mask, 0.0,
+            interleave_to_planar(rhs, 3).reshape(3, n, n, n),
+        )
+        x, k, rn = multigrid.pcg(lv0.matvec, gmg.apply, b,
+                                 rtol=args.rtol, maxiter=args.maxiter)
+        return planar_to_interleave(x.reshape(-1), 3), k, rn
+
+    rho = jnp.ones((model.nnodes,), dtype)
+    rhs = jnp.asarray(model.compute_rhs(), dtype)
+    log("[3d] compiling...")
+    t0 = time.time()
+    u, k, rn = step(rho, rhs)
+    u.block_until_ready()
+    log(f"[3d] compile+first run: {time.time()-t0:.1f}s iters={int(k)} "
+        f"resnorm={float(rn):.3e}")
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        u, k, rn = step(rho, rhs)
+        u.block_until_ready()
+        times.append(time.time() - t0)
+    elapsed = float(np.median(times))
+    log(f"[3d] times={['%.3f' % t for t in times]}")
+    print(json.dumps({
+        "metric": (
+            f"3D hex8 elasticity assembly+CG time-to-solution, "
+            f"{model.ndof} dof, {args.dtype}, rtol={args.rtol}, gmg-pcg"
+        ),
+        "value": round(elapsed, 4),
+        "unit": "s",
+        "vs_baseline": round(5.0 / elapsed, 3),
+        "cg_iters": int(k),
+        "resnorm": float(rn),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=["2d", "3d"], default="2d")
+    ap.add_argument("--n3d", type=int, default=65,
+                    help="3D config: nodes per axis")
     ap.add_argument("--nx", type=int, default=1025)
     ap.add_argument("--ny", type=int, default=513)
     ap.add_argument("--dtype", type=str, default="float32")
@@ -61,6 +131,10 @@ def main():
         lambda *a: print(*a, file=sys.stderr, flush=True)
     )
 
+    if args.config == "3d":
+        run_3d(args, log)
+        return
+
     log(f"devices: {jax.devices()}")
     creator = fem.ProblemCreator(nnodes_x=args.nx, nnodes_y=args.ny,
                                  element_type="quad")
@@ -87,35 +161,26 @@ def main():
     )
 
     # -- accuracy (mixed f64/f32) step ------------------------------------
-    # float64 fine-level operator (elementwise-unrolled assembly is the
-    # f64-safe route on TPU) + V-cycle preconditioner assembled in f32
-    # and cast to f64 once per solve
+    # float64 fine-level operator (uniform-geometry unit matrices — the
+    # f64-safe, einsum-free route on TPU) + V-cycle preconditioner
+    # assembled in f32 and cast to f64 once per solve
     def make_accuracy_step():
-        from pyfem_gpu_testflight_tpu.models.base import ramp
-        from pyfem_gpu_testflight_tpu.ops import geometry, stiffness
-
         rtol64 = 1e-11 if args.rtol == 1e-6 else args.rtol
         st0 = asm.static_levels[0][0]
-        et = fem.get_element("quad4")
-        Xe64 = jnp.asarray(model.X_host, jnp.float64)[model.conn]
-        N64 = jnp.asarray(et.shape_vals, jnp.float64)
-        conn_d = model.conn
-        mu, lam = model.mu, model.lam
+        asm64 = multigrid.GMGAssembler(
+            args.nx, args.ny, Lx, Ly, "elasticity", p=0.0,
+            dtype=jnp.float64,
+        )
+        Kq64 = asm64.static_levels[0][5]
 
-        # Two jits: the f64 assembly program is large under emulation and
-        # compiles separately from the solve (one compiler OOM'd on the
-        # fused program)
+        # Two jits: the f64 assembly program compiles separately from
+        # the solve (one compiler OOM'd on the fused program)
         @jax.jit
         def assemble64(rho):
-            rho64 = rho.astype(jnp.float64)
-            rho_q = geometry.interp_to_quads(
-                N64, jnp.take(rho64, conn_d, axis=0)
+            rho_grid = rho.astype(jnp.float64).reshape(args.ny, args.nx)
+            return st0.assemble_uniform(
+                asm64.material_planes(rho_grid), Kq64
             )
-            Ke64 = stiffness.elasticity_stiffness_quad4_unrolled(
-                Xe64, ramp(rho_q, 0.0), mu, lam, et.shape_grads,
-                et.quad_wts,
-            )
-            return st0.assemble(Ke64)
 
         def solve64(coeff64, rho, rhs):
             gmg32, lv0 = asm.assemble(rho)  # f32-assembled hierarchy

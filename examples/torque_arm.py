@@ -36,6 +36,9 @@ def synthesize_arm_inp(path, nr=6, nt=40):
     for (a, b, c, d) in quads:
         tris.append((a, b, c))
         tris.append((c, d, a))
+    # enforce positive (counterclockwise) orientation
+    from pyfem_gpu_testflight_tpu.mesh import fix_orientation
+    tris, _ = fix_orientation(np.array(tris), nodes)
     fixed = list(range(nt))  # inner ring
     load = list(range((nr - 1) * nt, (nr - 1) * nt + 3))  # outer ring end
 
@@ -57,8 +60,8 @@ def synthesize_arm_inp(path, nr=6, nt=40):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--inp", default=None, help="path to an Abaqus .inp mesh")
-    p.add_argument("--method", default="direct",
-                   choices=["direct", "cg", "gmres"])
+    p.add_argument("--method", default="amg",
+                   choices=["direct", "cg", "gmres", "amg"])
     args = p.parse_args()
 
     inp = args.inp
@@ -70,6 +73,9 @@ def main():
     conn_dict, X, groups = parser.parse()
     conn = conn_dict["CPS3"]
     X = X[:, :2]
+    conn, n_flip = fem.fix_orientation(conn, X)
+    if n_flip:
+        print(f"[info] fixed orientation of {n_flip} elements")
     print(f"nelems={conn.shape[0]} nnodes={X.shape[0]} "
           f"nsets={list(groups)}")
 

@@ -19,7 +19,7 @@ _jax.config.update("jax_enable_x64", True)
 
 from . import assembly, bcs, elements, mesh, solvers  # noqa: E402
 from .elements import ElementType, get_element  # noqa: E402
-from .mesh import ProblemCreator, structured_mesh  # noqa: E402
+from .mesh import ProblemCreator, structured_mesh, fix_orientation  # noqa: E402
 from .bcs import DirichletBC  # noqa: E402
 from .models import (  # noqa: E402
     FEModel,
@@ -42,6 +42,7 @@ from .io.inp import InpParser  # noqa: E402
 __version__ = "0.1.0"
 
 __all__ = [
+    "fix_orientation",
     "Assembler",
     "DirichletBC",
     "ElementType",

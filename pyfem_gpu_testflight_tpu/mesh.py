@@ -15,7 +15,40 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["ProblemCreator", "structured_mesh"]
+__all__ = ["ProblemCreator", "structured_mesh", "fix_orientation"]
+
+
+def fix_orientation(conn, X):
+    """Flip negatively-oriented simplices (tri3/tet10 corners) in place.
+
+    FEM integrals assume positive Jacobians; meshes from external tools
+    (.inp imports) may carry clockwise winding, which silently negates
+    the element contributions (K -> -K on a fully-flipped mesh).
+
+    Returns:
+        (conn_fixed, n_flipped).
+    """
+    conn = np.array(conn, copy=True)
+    X = np.asarray(X)
+    nn = conn.shape[1]
+    if nn == 3 and X.shape[1] >= 2:  # tri3
+        a = X[conn[:, 1], :2] - X[conn[:, 0], :2]
+        b = X[conn[:, 2], :2] - X[conn[:, 0], :2]
+        neg = (a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]) < 0
+        conn[neg] = conn[neg][:, [0, 2, 1]]
+        return conn, int(neg.sum())
+    if nn in (4, 10) and X.shape[1] == 3:  # tet4 / tet10 corner swap
+        a = X[conn[:, 1]] - X[conn[:, 0]]
+        b = X[conn[:, 2]] - X[conn[:, 0]]
+        c = X[conn[:, 3]] - X[conn[:, 0]]
+        det = np.einsum("ij,ij->i", np.cross(a, b), c)
+        neg = det < 0
+        if nn == 4:
+            conn[neg] = conn[neg][:, [0, 2, 1, 3]]
+        else:  # tet10: swap corners 1<->2 and the affected mid-edges
+            conn[neg] = conn[neg][:, [0, 2, 1, 3, 6, 5, 4, 7, 9, 8]]
+        return conn, int(neg.sum())
+    return conn, 0
 
 
 def _grid_coords(nx, ny, nz, Lx, Ly, Lz):

@@ -211,13 +211,28 @@ class FEModel:
         Returns:
             (u, b): solution and the BC-applied rhs (used by compliance).
         """
-        assert method in ("direct", "cg", "gmres", "gmg")
+        assert method in ("direct", "cg", "gmres", "gmg", "amg")
         if method == "gmg":
             assert getattr(self, "_gmg_asm", None) is not None, (
                 "call attach_structured_grid(nx, ny) before method='gmg'"
             )
             return self._solve_gmg(rho if rho is not None else 1.0, rhs,
                                    rtol=rtol)
+        if method == "amg":
+            # unstructured fast path: host smoothed-aggregation setup,
+            # device DIA V-cycle PCG (pyamg's role, pyfem.py:2392-2400)
+            from .. import unstructured
+
+            K = self.assemble_scipy(Ke)
+            K, b_np = self.bc.apply_scipy(K, np.asarray(rhs))
+            x, k, rn = unstructured.amg_pcg(
+                K, jnp.asarray(b_np, self.dtype), nd=self.ndof_per_node,
+                coords=self.X_host, rtol=rtol,
+                maxiter=maxiter or 10 * self.ndof,
+            )
+            _check_converged("amg-pcg", rn,
+                             rtol * np.linalg.norm(b_np), k)
+            return x, jnp.asarray(b_np, self.dtype)
         if method == "direct":
             K = self.assemble_scipy(Ke)
             K, b = self.bc.apply_scipy(K, np.asarray(rhs))

@@ -381,10 +381,21 @@ class GMGAssembler:
 
     def __init__(self, nx, ny, Lx, Ly, physics="elasticity", E=10.0, nu=0.3,
                  p=0.0, dtype=jnp.float32, nu_pre=2, nu_post=2, omega=0.7,
-                 min_n=5, fine_mask=None, coarse_dense=True):
+                 min_n=5, fine_mask=None, coarse_dense=True,
+                 elem_path="uniform"):
         """fine_mask: optional (nd, ny, nx) bool Dirichlet mask; coarse
         masks are derived by injection (default: clamp the x=0 column,
-        matching ProblemCreator's problem factories)."""
+        matching ProblemCreator's problem factories).
+
+        elem_path: element-matrix route inside ``assemble``:
+            * "uniform" (default): uniform-geometry unit matrices —
+              Ke[e] = sum_q Cq[e,q] Kq[q], exact on the creator's uniform
+              grids, never materializes Ke;
+            * "pallas": ops.pallas_stiffness elements-on-lanes kernel
+              (general geometry, f32, TPU);
+            * "einsum": the general einsum path (always-correct
+              fallback, any dtype).
+        """
         from .mesh import ProblemCreator
         from .assembly import make_conn_dof
         from .elements import get_element
@@ -395,6 +406,7 @@ class GMGAssembler:
         self.dtype = dtype
         self.nu_pre, self.nu_post, self.omega = nu_pre, nu_post, omega
         self.coarse_dense = bool(coarse_dense)
+        self.elem_path = elem_path
         nd = 2 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -423,7 +435,63 @@ class GMGAssembler:
                 cur_mask = cur_mask[:, ::2, ::2]
             else:
                 mask = jnp.asarray(_left_edge_mask(lnx, lny, nd))
-            self.static_levels.append((op, Xe, conn32, mask, (lny, lnx)))
+            Kq = self.unit_matrices(creator.X[np.asarray(creator.conn[0])])
+            self.static_levels.append(
+                (op, Xe, conn32, mask, (lny, lnx), Kq)
+            )
+
+    def unit_matrices(self, Xe1, dtype=None):
+        """(nquads, ndpe, ndpe) per-quadrature unit element matrices.
+
+        Kq[q] = w_q |J_q| B_q^T C B_q of the level's (uniform) element —
+        computed once at setup in float64 through the einsum path, so
+        ``sum_q Cq[e,q] Kq[q]`` reproduces the general assembly exactly
+        on uniform grids.
+        """
+        from .ops import stiffness
+
+        et_dtype = jnp.float64
+        # one tiny f64 computation at setup: run on the host CPU backend
+        # (f64 einsums on TPU go through a memory-hungry emulation)
+        with jax.default_device(jax.devices("cpu")[0]):
+            Xe1 = jnp.asarray(np.asarray(Xe1), et_dtype)[None]
+            dN = jnp.asarray(np.asarray(self.dN), et_dtype)
+            wq = jnp.asarray(np.asarray(self.wq), et_dtype)
+            nq = dN.shape[0]
+            onehot = jnp.eye(nq, dtype=et_dtype)
+            if self.physics == "elasticity":
+                f = lambda c: stiffness.elasticity_stiffness(
+                    Xe1, dN, wq, c[None], self.mu, self.lam
+                )[0]
+            else:
+                f = lambda c: stiffness.poisson_stiffness(
+                    Xe1, dN, wq, c[None]
+                )[0]
+            Kq = np.asarray(jax.vmap(f)(onehot))
+        return jnp.asarray(Kq, dtype or self.dtype)
+
+    def material_planes(self, rho_grid):
+        """RAMP material at quad points as (nquads, ney, nex) planes.
+
+        Gather-free: the quad4 nodal gather is four shifted slices of
+        the (ny, nx) density grid.
+        """
+        from .models.base import ramp
+        from .ops.stencil import _QUAD4_LOCAL
+
+        ny, nx = rho_grid.shape
+        ney, nex = ny - 1, nx - 1
+        rho_e = [
+            rho_grid[ay : ay + ney, ax : ax + nex]
+            for (ay, ax) in _QUAD4_LOCAL
+        ]
+        planes = []
+        for q in range(self.N.shape[0]):
+            acc = self.N[q, 0] * rho_e[0]
+            for n in range(1, len(rho_e)):
+                acc = acc + self.N[q, n] * rho_e[n]
+            planes.append(acc)
+        return ramp(jnp.stack(planes), self.p)
 
     def _elem_matrices(self, Xe, conn32, rho_flat):
         from .models.base import ramp
@@ -439,14 +507,39 @@ class GMGAssembler:
             )
         return stiffness.poisson_stiffness(Xe, self.dN, self.wq, Cq)
 
+    def _level_coeff(self, op, Xe, conn32, Kq, rho_grid):
+        """Element matrices + stencil assembly for one level."""
+        if self.elem_path == "uniform":
+            return op.assemble_uniform(self.material_planes(rho_grid), Kq)
+        if self.elem_path == "pallas":
+            from .models.base import ramp
+            from .ops import pallas_stiffness
+
+            Cq = self.material_planes(rho_grid)
+            nq = Cq.shape[0]
+            cqT = Cq.reshape(nq, -1)
+            XeT = pallas_stiffness.transpose_xe(Xe)
+            interp = jax.default_backend() == "cpu"
+            if self.physics == "elasticity":
+                KeT = pallas_stiffness.elasticity_stiffness_quad4(
+                    XeT, cqT, float(self.mu), float(self.lam),
+                    interpret=interp,
+                )
+            else:
+                KeT = pallas_stiffness.poisson_stiffness_quad4(
+                    XeT, cqT, interpret=interp
+                )
+            return op.assemble_transposed(KeT)
+        Ke = self._elem_matrices(Xe, conn32, rho_grid.reshape(-1))
+        return op.assemble(Ke)
+
     def assemble(self, rho):
         """Traceable: fine nodal rho -> (gmg, fine_level)."""
         ny, nx = self.static_levels[0][4]
         rho_grid = jnp.asarray(rho, self.dtype).reshape(ny, nx)
         levels = []
-        for (op, Xe, conn32, mask, shape) in self.static_levels:
-            Ke = self._elem_matrices(Xe, conn32, rho_grid.reshape(-1))
-            coeff = op.assemble(Ke)
+        for (op, Xe, conn32, mask, shape, Kq) in self.static_levels:
+            coeff = self._level_coeff(op, Xe, conn32, Kq, rho_grid)
             levels.append(Level(op, coeff, mask, shape, self.nd))
             rho_grid = _restrict_nodal(rho_grid)
         if self.coarse_dense and (
@@ -550,7 +643,8 @@ class GMGAssembler3D:
 
     def __init__(self, nx, ny, nz, Lx, Ly, Lz, physics="elasticity",
                  E=10.0, nu=0.3, p=0.0, dtype=jnp.float32, nu_pre=2,
-                 nu_post=2, omega=0.6, min_n=3, coarse_dense=True):
+                 nu_post=2, omega=0.6, min_n=3, coarse_dense=True,
+                 elem_path="uniform"):
         from .mesh import ProblemCreator
         from .elements import get_element
         from .ops import stiffness
@@ -560,6 +654,7 @@ class GMGAssembler3D:
         self.dtype = dtype
         self.nu_pre, self.nu_post, self.omega = nu_pre, nu_post, omega
         self.coarse_dense = bool(coarse_dense)
+        self.elem_path = elem_path
         nd = 3 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -581,7 +676,31 @@ class GMGAssembler3D:
             op = Stencil3D(lnx, lny, lnz, nd)
             Xe = jnp.asarray(creator.X, dtype)[conn32]
             mask = jnp.asarray(_left_face_mask(lnx, lny, lnz, nd))
-            self.static_levels.append((op, Xe, conn32, mask, (lnz, lny, lnx)))
+            Kq = GMGAssembler.unit_matrices(
+                self, creator.X[np.asarray(creator.conn[0])]
+            )
+            self.static_levels.append(
+                (op, Xe, conn32, mask, (lnz, lny, lnx), Kq)
+            )
+
+    def material_planes(self, rho_grid):
+        """RAMP material at quads as (nquads, nez, ney, nex) volumes."""
+        from .models.base import ramp
+        from .ops.stencil import _HEX8_LOCAL
+
+        nz, ny, nx = rho_grid.shape
+        nez, ney, nex = nz - 1, ny - 1, nx - 1
+        rho_e = [
+            rho_grid[az : az + nez, ay : ay + ney, ax : ax + nex]
+            for (az, ay, ax) in _HEX8_LOCAL
+        ]
+        planes = []
+        for q in range(self.N.shape[0]):
+            acc = self.N[q, 0] * rho_e[0]
+            for n in range(1, len(rho_e)):
+                acc = acc + self.N[q, n] * rho_e[n]
+            planes.append(acc)
+        return ramp(jnp.stack(planes), self.p)
 
     def _elem_matrices(self, Xe, conn32, rho_flat):
         from .models.base import ramp
@@ -602,9 +721,12 @@ class GMGAssembler3D:
         nz, ny, nx = self.static_levels[0][4]
         rho_grid = jnp.asarray(rho, self.dtype).reshape(nz, ny, nx)
         levels = []
-        for (op, Xe, conn32, mask, shape) in self.static_levels:
-            Ke = self._elem_matrices(Xe, conn32, rho_grid.reshape(-1))
-            coeff = op.assemble(Ke)
+        for (op, Xe, conn32, mask, shape, Kq) in self.static_levels:
+            if self.elem_path == "uniform":
+                coeff = op.assemble_uniform(self.material_planes(rho_grid), Kq)
+            else:
+                Ke = self._elem_matrices(Xe, conn32, rho_grid.reshape(-1))
+                coeff = op.assemble(Ke)
             levels.append(Level(op, coeff, mask, shape, self.nd))
             rho_grid = rho_grid[0::2, 0::2, 0::2]
         if self.coarse_dense and (

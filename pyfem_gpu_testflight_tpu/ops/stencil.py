@@ -74,6 +74,33 @@ class Stencil2D:
             )
         return coeff
 
+    def assemble_uniform(self, Cq_grid, Kq):
+        """Uniform-geometry assembly: Ke[e] = sum_q Cq[e,q] Kq[q].
+
+        On a uniform structured grid every element has identical
+        geometry, so the element matrices are material-weighted sums of
+        the per-quadrature unit matrices Kq (nquads, ndpe, ndpe).  This
+        skips materializing the (nelems, ndpe, ndpe) Ke array entirely
+        (~134 MB at 1M dof): each coefficient plane is a few
+        scalar-times-plane FMAs on the (ney, nex) material planes.
+
+        Args:
+            Cq_grid: (nquads, ney, nex) material factor at quad points.
+            Kq: (nquads, ndpe, ndpe) unit element matrices.
+        """
+        ny, nx, nd = self.ny, self.nx, self.nd
+        ney, nex = ny - 1, nx - 1
+        coeff = jnp.zeros((nd, nd, 3, 3, ny, nx), dtype=Cq_grid.dtype)
+        nq = Cq_grid.shape[0]
+        for (ca, cb, dy, dx, ay, ax, r, s) in self.plan:
+            plane = Kq[0, r, s] * Cq_grid[0]
+            for q in range(1, nq):
+                plane = plane + Kq[q, r, s] * Cq_grid[q]
+            coeff = coeff.at[ca, cb, dy, dx, ay : ay + ney, ax : ax + nex].add(
+                plane
+            )
+        return coeff
+
     # -- operator ---------------------------------------------------------
 
     def matvec(self, coeff, u):
@@ -144,6 +171,23 @@ class Stencil3D:
                 ca, cb, dz, dy, dx,
                 az : az + nez, ay : ay + ney, ax : ax + nex,
             ].add(Kg[:, :, :, r, s])
+        return coeff
+
+    def assemble_uniform(self, Cq_grid, Kq):
+        """Uniform-geometry assembly (see Stencil2D.assemble_uniform).
+
+        Args:
+            Cq_grid: (nquads, nez, ney, nex); Kq: (nquads, ndpe, ndpe).
+        """
+        nz, ny, nx, nd = self.nz, self.ny, self.nx, self.nd
+        nez, ney, nex = nz - 1, ny - 1, nx - 1
+        coeff = jnp.zeros((nd, nd, 3, 3, 3, nz, ny, nx), dtype=Cq_grid.dtype)
+        for (ca, cb, dz, dy, dx, az, ay, ax, r, s) in self.plan:
+            plane = jnp.einsum("q,qzyx->zyx", Kq[:, r, s], Cq_grid)
+            coeff = coeff.at[
+                ca, cb, dz, dy, dx,
+                az : az + nez, ay : ay + ney, ax : ax + nex,
+            ].add(plane)
         return coeff
 
     def matvec(self, coeff, u):

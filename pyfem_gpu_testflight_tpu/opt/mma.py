@@ -80,6 +80,84 @@ def _solve_dual_x(lam, p0, q0, P, Q, L, U, alpha, beta):
     return np.clip(x, alpha, beta)
 
 
+def _make_device_update(asy_grow, asy_shrink, albefa, move):
+    """Jitted single-constraint MMA update (asymptotes + dual bisection).
+
+    The NumPy subproblem dominated topology-optimization iterations on
+    the throttled host core (NOTES.md round 1: 8.6 s/iter at 16k dofs
+    with the TPU idle); this runs the whole design update as one XLA
+    program — elementwise (n,) arrays plus a scalar bisection, ideal
+    for the VPU.  Same math as the NumPy path (gated by a test).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def solve_x(lam, p0, q0, P1, Q1, L, U, alpha, beta):
+        p = p0 + lam * P1
+        q = q0 + lam * Q1
+        sp = jnp.sqrt(jnp.maximum(p, 0.0))
+        sq = jnp.sqrt(jnp.maximum(q, 0.0))
+        x = (sp * L + sq * U) / jnp.maximum(sp + sq, 1e-300)
+        return jnp.clip(x, alpha, beta)
+
+    @jax.jit
+    def update(x, xold1, xold2, low, upp, g, dc, ci, lb, ub, k):
+        rng = ub - lb
+        sign = (x - xold1) * (xold1 - xold2)
+        fac = jnp.where(sign > 0, asy_grow,
+                        jnp.where(sign < 0, asy_shrink, 1.0))
+        low2 = jnp.clip(x - fac * (xold1 - low),
+                        x - 10.0 * rng, x - 0.01 * rng)
+        upp2 = jnp.clip(x + fac * (upp - xold1),
+                        x + 0.01 * rng, x + 10.0 * rng)
+        low = jnp.where(k >= 2, low2, low)
+        upp = jnp.where(k >= 2, upp2, upp)
+
+        alpha = jnp.maximum(
+            jnp.maximum(lb, low + albefa * (x - low)), x - move * rng
+        )
+        beta = jnp.minimum(
+            jnp.minimum(ub, upp - albefa * (upp - x)), x + move * rng
+        )
+
+        eps0 = 1e-5
+        Umx = upp - x
+        xmL = x - low
+        p0 = Umx**2 * (jnp.maximum(g, 0.0) + 1e-3 * jnp.abs(g) + eps0 / rng)
+        q0 = xmL**2 * (jnp.maximum(-g, 0.0) + 1e-3 * jnp.abs(g) + eps0 / rng)
+        P1 = Umx**2 * jnp.maximum(dc, 0.0)
+        Q1 = xmL**2 * jnp.maximum(-dc, 0.0)
+        ri = ci - jnp.sum(P1 / Umx + Q1 / xmL)
+
+        def con_value(lam):
+            xs = solve_x(lam, p0, q0, P1, Q1, low, upp, alpha, beta)
+            return ri + jnp.sum(P1 / (upp - xs) + Q1 / (xs - low))
+
+        c0 = con_value(0.0)
+
+        def bracket_cond(hi):
+            return (con_value(hi) > 0.0) & (hi < 1e12)
+
+        hi = jax.lax.while_loop(bracket_cond, lambda h: h * 10.0,
+                                jnp.asarray(1.0, x.dtype))
+
+        def bisect(_, lohi):
+            lo_b, hi_b = lohi
+            mid = 0.5 * (lo_b + hi_b)
+            gt = con_value(mid) > 0.0
+            return (jnp.where(gt, mid, lo_b), jnp.where(gt, hi_b, mid))
+
+        lo_b, hi_b = jax.lax.fori_loop(
+            0, 60, bisect, (jnp.asarray(0.0, x.dtype), hi)
+        )
+        lam = jnp.where(c0 <= 0.0, 0.0, 0.5 * (lo_b + hi_b))
+        x_new = solve_x(lam, p0, q0, P1, Q1, low, upp, alpha, beta)
+        step = jnp.max(jnp.abs(x_new - x))
+        return x_new, low, upp, lam, step
+
+    return update
+
+
 class MMA:
     """Method of Moving Asymptotes driver.
 
@@ -102,6 +180,9 @@ class MMA:
         self.tol = float(o.get("tol", 0.0))
         self.verbose = bool(o.get("verbose", True))
         self.callback = o.get("callback")
+        # device=True/"auto": jitted single-constraint subproblem (keeps
+        # the design update on the accelerator); False: NumPy reference
+        self.device = o.get("device", "auto")
         self.history = []
 
     def optimize(self):
@@ -121,6 +202,18 @@ class MMA:
         g = np.zeros(n)
         A = [np.zeros(n) for _ in range(m)]
 
+        use_device = (m == 1) and self.device in (True, "auto")
+        if use_device:
+            import jax.numpy as jnp
+
+            upd = _make_device_update(
+                self.asy_grow, self.asy_shrink, self.albefa, self.move
+            )
+            x = jnp.asarray(x)
+            xold1, xold2 = x, x
+            low_d, upp_d = jnp.asarray(low), jnp.asarray(upp)
+            lb_d, ub_d = jnp.asarray(lb), jnp.asarray(ub)
+
         for k in range(self.max_iterations):
             fail, f0, con = prob.evalObjCon(x)
             if fail:
@@ -132,6 +225,32 @@ class MMA:
             # ParOpt convention con >= 0 feasible -> gi = -con <= 0
             ci = -con
             dci = -np.stack([np.asarray(a, dtype=float) for a in A])
+
+            if use_device:
+                x_new, low_d, upp_d, lam_d, step_d = upd(
+                    x, xold1, xold2, low_d, upp_d,
+                    jnp.asarray(g), jnp.asarray(dci[0]),
+                    jnp.asarray(ci[0]), lb_d, ub_d, k,
+                )
+                lam = np.array([float(lam_d)])
+                step = float(step_d)
+                self.history.append(
+                    {"iter": k, "obj": float(f0), "con": con.tolist(),
+                     "step": step, "lam": lam.tolist()}
+                )
+                if self.verbose:
+                    print(
+                        f"[mma] {k:4d} obj {f0: .8e} con "
+                        + " ".join(f"{c: .3e}" for c in con)
+                        + f" step {step:.3e}"
+                    )
+                if self.callback is not None:
+                    self.callback(k, x, f0, con)
+                xold2, xold1 = xold1, x
+                x = x_new
+                if self.tol > 0.0 and step < self.tol:
+                    break
+                continue
 
             # -- asymptote update (Svanberg's rule) -----------------------
             if k >= 2:

@@ -119,3 +119,42 @@ def test_pallas_stencil_matvec_matches_xla():
     y_pal = stencil_matvec_2d(lv0.coeff, u, ty=8, interpret=True)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_hex8_pallas_matches_einsum():
+    """hex8 Pallas kernels (the A2D role, pyfem.py:2260-2264) vs einsum
+    on non-uniform geometry."""
+    from pyfem_gpu_testflight_tpu.ops import (
+        stiffness, pallas_stiffness3d as p3,
+    )
+
+    creator = fem.ProblemCreator(nnodes_x=5, nnodes_y=4, nnodes_z=4,
+                                 element_type="block")
+    conn, X, dof_fixed, _ = creator.create_linear_elasticity_problem()
+    rng = np.random.RandomState(0)
+    X = np.asarray(X) + 0.03 * rng.randn(*np.asarray(X).shape)
+    et = fem.get_element("hex8")
+    dtype = jnp.float32
+    Xe = jnp.asarray(X, dtype)[jnp.asarray(np.asarray(conn), jnp.int32)]
+    dN = jnp.asarray(et.shape_grads, dtype)
+    wq = jnp.asarray(et.quad_wts, dtype)
+    cq = jnp.asarray(0.3 + 0.6 * rng.rand(Xe.shape[0], 8), dtype)
+    mu, lam = stiffness.lame_params(10.0, 0.3, 3)
+
+    Ke_ref = stiffness.elasticity_stiffness(Xe, dN, wq, cq, mu, lam)
+    KeT = p3.elasticity_stiffness_hex8(
+        p3.transpose_xe_hex8(Xe), cq.T, float(mu), float(lam),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(KeT.T.reshape(-1, 24, 24)), np.asarray(Ke_ref),
+        rtol=3e-5, atol=3e-5,
+    )
+
+    Kp_ref = stiffness.poisson_stiffness(Xe, dN, wq, cq)
+    KpT = p3.poisson_stiffness_hex8(p3.transpose_xe_hex8(Xe), cq.T,
+                                    interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(KpT.T.reshape(-1, 8, 8)), np.asarray(Kp_ref),
+        rtol=3e-5, atol=3e-5,
+    )

@@ -1,0 +1,79 @@
+"""Unstructured fast path: RCM + smoothed-aggregation AMG-PCG.
+
+The pyamg role for .inp meshes (reference pyfem.py:2392-2400): the
+torque-arm CPS3 workload must solve on device, match the direct
+solution, and converge in a preconditioned-iteration count of the same
+order as the structured GMG path (VERDICT r1 item 5).
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pyfem_gpu_testflight_tpu as fem
+from pyfem_gpu_testflight_tpu import unstructured
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def _arm_model(nr=12, nt=80):
+    from torque_arm import synthesize_arm_inp
+
+    inp = synthesize_arm_inp("/tmp/arm_synth_test.inp", nr=nr, nt=nt)
+    parser = fem.InpParser(inp)
+    conn_dict, X, groups = parser.parse()
+    conn, _ = fem.fix_orientation(conn_dict["CPS3"], X[:, :2])
+    X = X[:, :2]
+    dof_fixed = []
+    for n in groups["fixed"]:
+        dof_fixed.extend([2 * int(n), 2 * int(n) + 1])
+    nodal_force = {int(n): [0.0, -1.0] for n in groups["load"]}
+    return fem.LinearElasticity("tri3", X, conn, dof_fixed, None,
+                                nodal_force), X
+
+
+def test_amg_solve_matches_direct():
+    model, X = _arm_model()
+    u_dir = np.asarray(model.solve(method="direct"), np.float64)
+    u_amg = np.asarray(model.solve(method="amg", rtol=1e-10), np.float64)
+    rel = np.linalg.norm(u_amg - u_dir) / np.linalg.norm(u_dir)
+    assert rel < 1e-8, rel
+
+
+def test_amg_iteration_count_rigid_modes():
+    model, X = _arm_model()
+    K = model.assemble_scipy(model.element_jacobian(1.0))
+    K, b = model.bc.apply_scipy(K, np.asarray(model.compute_rhs()))
+    x, k, rn = unstructured.amg_pcg(K, b, nd=2, coords=X, rtol=1e-8)
+    # rigid-body-mode SA: same order as structured GMG (~13-21 iters)
+    assert int(k) <= 45, int(k)
+    # and the rigid modes must beat translations-only
+    x2, k2, _ = unstructured.amg_pcg(K, b, nd=2, rtol=1e-8)
+    assert int(k) < int(k2)
+
+
+def test_amg_poisson_scalar():
+    creator = fem.ProblemCreator(nnodes_x=33, nnodes_y=33,
+                                 element_type="tri")
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    model = fem.LinearPoisson(
+        "tri3", X, conn, dof_fixed, None,
+        gfunc=lambda x: jnp.ones(x.shape[:-1], x.dtype),
+    )
+    u_dir = np.asarray(model.solve(method="direct"), np.float64)
+    u_amg = np.asarray(model.solve(method="amg", rtol=1e-10), np.float64)
+    rel = np.linalg.norm(u_amg - u_dir) / np.linalg.norm(u_dir)
+    assert rel < 1e-8, rel
+
+
+def test_fix_orientation_tri():
+    X = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    conn = np.array([[0, 2, 1]])  # clockwise
+    fixed, n = fem.fix_orientation(conn, X)
+    assert n == 1
+    assert list(fixed[0]) == [0, 1, 2]
+    fixed2, n2 = fem.fix_orientation(fixed, X)
+    assert n2 == 0
