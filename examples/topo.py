@@ -54,13 +54,20 @@ def main():
         )
 
     filtr = fem.Helmholtz(args.r0, args.element_type, X, conn)
+    # stencil fast path for the two filter solves per MMA iteration
     if args.element_type == "quad":
-        # stencil fast path for the two filter solves per MMA iteration
         filtr.attach_structured_grid(128, 64)
+    elif args.element_type == "block":
+        filtr.attach_structured_grid(64, 32, 32)
 
     if args.solver == "gmg":
-        assert args.element_type == "quad", "gmg solver requires quad grids"
-        model.attach_structured_grid(128, 64)
+        assert args.element_type in ("quad", "block"), (
+            "gmg solver requires structured quad/hex grids"
+        )
+        if args.element_type == "quad":
+            model.attach_structured_grid(128, 64)
+        else:
+            model.attach_structured_grid(64, 32, 32)
 
     prob = TopoProblem(model, filtr, fixed_volume=args.fixed_volume,
                        solver=args.solver)

@@ -151,49 +151,74 @@ class FEModel:
     def diagonal(self, Ke):
         return assembly.elem_diagonal(Ke, self.conn_dof, self.ndof)
 
-    def attach_structured_grid(self, nnodes_x, nnodes_y, **gmg_options):
-        """Enable the geometric-multigrid fast path (2D structured quad).
+    def attach_structured_grid(self, nnodes_x, nnodes_y, nnodes_z=None,
+                               **gmg_options):
+        """Enable the geometric-multigrid fast path (structured quad/hex).
 
-        Builds a GMG hierarchy (multigrid.GMGAssembler) using this
+        Builds a GMG hierarchy (multigrid.GMGAssembler[3D]) using this
         model's physics and Dirichlet mask; afterwards
         ``solve(method="gmg")`` / ``compliance(solver="gmg")`` run
         V-cycle-preconditioned CG entirely on device.
         """
-        from ..multigrid import GMGAssembler
+        from ..multigrid import GMGAssembler, GMGAssembler3D
 
-        assert self.etype.name == "quad4", "gmg path requires quad4 grids"
         nd = self.ndof_per_node
-        nx, ny = int(nnodes_x), int(nnodes_y)
-        assert nx * ny == self.nnodes
         X = self.X_host
-        # interleaved (node, comp) mask -> planar (comp, ny, nx)
-        fine_mask = (
-            np.asarray(self.bc.mask).reshape(ny * nx, nd).T.reshape(nd, ny, nx)
+        if nnodes_z is None:
+            assert self.etype.name == "quad4", "2D gmg requires quad4 grids"
+            nx, ny = int(nnodes_x), int(nnodes_y)
+            assert nx * ny == self.nnodes
+            # interleaved (node, comp) mask -> planar (comp, ny, nx)
+            fine_mask = (
+                np.asarray(self.bc.mask)
+                .reshape(ny * nx, nd).T.reshape(nd, ny, nx)
+            )
+            physics = "elasticity" if nd == 2 else "poisson"
+            kw = dict(p=self.p, dtype=self.dtype, fine_mask=fine_mask)
+            if physics == "elasticity":
+                kw.update(E=self.E, nu=self.nu)
+            kw.update(gmg_options)
+            self._gmg_asm = GMGAssembler(
+                nx, ny, float(X[:, 0].max()), float(X[:, 1].max()),
+                physics, **kw
+            )
+            self._gmg_shape = (ny, nx)
+            return self
+        assert self.etype.name == "hex8", "3D gmg requires hex8 grids"
+        nx, ny, nz = int(nnodes_x), int(nnodes_y), int(nnodes_z)
+        assert nx * ny * nz == self.nnodes
+        # GMGAssembler3D clamps the x=0 face (the problem factories'
+        # layout); verify this model's BCs match that assumption
+        expect = np.zeros((self.nnodes, nd), dtype=bool)
+        expect[np.arange(self.nnodes) % nx == 0] = True
+        assert (np.asarray(self.bc.mask).reshape(-1, nd) == expect).all(), (
+            "3D gmg path currently supports x=0-face clamping only"
         )
-        physics = "elasticity" if nd == 2 else "poisson"
-        kw = dict(p=self.p, dtype=self.dtype, fine_mask=fine_mask)
+        physics = "elasticity" if nd == 3 else "poisson"
+        kw = dict(p=self.p, dtype=self.dtype)
         if physics == "elasticity":
             kw.update(E=self.E, nu=self.nu)
         kw.update(gmg_options)
-        self._gmg_asm = GMGAssembler(
-            nx, ny, float(X[:, 0].max()), float(X[:, 1].max()), physics, **kw
+        self._gmg_asm = GMGAssembler3D(
+            nx, ny, nz, float(X[:, 0].max()), float(X[:, 1].max()),
+            float(X[:, 2].max()), physics, **kw
         )
-        self._gmg_shape = (ny, nx)
+        self._gmg_shape = (nz, ny, nx)
         return self
 
     def _solve_gmg(self, rho, rhs, rtol=1e-8, maxiter=400):
         from .. import multigrid
         from ..ops.dia import interleave_to_planar, planar_to_interleave
 
-        ny, nx = self._gmg_shape
+        shape = self._gmg_shape
         nd = self.ndof_per_node
         gmg, lv0 = self._gmg_asm.assemble(self._as_nodal(rho))
         rhs_g = interleave_to_planar(
             jnp.asarray(rhs, self.dtype), nd
-        ).reshape(nd, ny, nx)
+        ).reshape((nd,) + shape)
         vals_g = interleave_to_planar(
             self.bc.values.astype(self.dtype), nd
-        ).reshape(nd, ny, nx)
+        ).reshape((nd,) + shape)
         lift = lv0.op.matvec(lv0.coeff, jnp.where(lv0.mask, vals_g, 0.0))
         b = jnp.where(lv0.mask, vals_g, rhs_g - lift)
         x0 = jnp.where(lv0.mask, vals_g, 0.0)

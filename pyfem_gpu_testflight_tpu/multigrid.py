@@ -254,7 +254,8 @@ class Level:
         nd: dofs per node.
     """
 
-    def __init__(self, op: Stencil2D, coeff, mask, shape, nd, chol=None):
+    def __init__(self, op: Stencil2D, coeff, mask, shape, nd, chol=None,
+                 smoother_dtype=None):
         self.op = op
         self.coeff = coeff
         self.mask = mask
@@ -263,9 +264,19 @@ class Level:
         diag = op.diagonal(coeff)
         self.inv_diag = 1.0 / jnp.where(mask | (diag == 0), 1.0, diag)
         self.chol = chol  # dense Cholesky factor for exact coarse solves
+        # optional low-precision (bf16) coefficient copy: halves the
+        # smoother's HBM traffic; requires flexible PCG outside
+        self.coeff_lp = (
+            coeff.astype(smoother_dtype) if smoother_dtype else None
+        )
 
     def matvec(self, u):
         return self.op.bc_matvec(self.coeff, self.mask, u)
+
+    def matvec_lp(self, u):
+        """Preconditioner-internal matvec (low-precision coeff if set)."""
+        c = self.coeff_lp if self.coeff_lp is not None else self.coeff
+        return self.op.bc_matvec(c, self.mask, u)
 
     def dense_factor(self):
         """Dense Cholesky of the BC-constrained operator (coarse levels).
@@ -308,7 +319,7 @@ class GMG:
         omega = self.omega
 
         def body(_, x):
-            r = b - lv.matvec(x)
+            r = b - lv.matvec_lp(x)
             return x + omega * lv.inv_diag * jnp.where(lv.mask, 0.0, r)
 
         return jax.lax.fori_loop(0, niter, body, x)
@@ -321,7 +332,7 @@ class GMG:
                 return x.reshape(b.shape)
             return self._smooth(lv, jnp.zeros_like(b), b, self.coarse_iters)
         x = self._smooth(lv, jnp.zeros_like(b), b, self.nu_pre)
-        r = b - lv.matvec(x)
+        r = b - lv.matvec_lp(x)
         r = jnp.where(lv.mask, 0.0, r)
         coarse = self.levels[k + 1]
         bc = self.restrict_fn(r, coarse.shape)
@@ -382,7 +393,7 @@ class GMGAssembler:
     def __init__(self, nx, ny, Lx, Ly, physics="elasticity", E=10.0, nu=0.3,
                  p=0.0, dtype=jnp.float32, nu_pre=2, nu_post=2, omega=0.7,
                  min_n=5, fine_mask=None, coarse_dense=True,
-                 elem_path="uniform"):
+                 elem_path="uniform", smoother_dtype=None):
         """fine_mask: optional (nd, ny, nx) bool Dirichlet mask; coarse
         masks are derived by injection (default: clamp the x=0 column,
         matching ProblemCreator's problem factories).
@@ -407,6 +418,7 @@ class GMGAssembler:
         self.nu_pre, self.nu_post, self.omega = nu_pre, nu_post, omega
         self.coarse_dense = bool(coarse_dense)
         self.elem_path = elem_path
+        self.smoother_dtype = smoother_dtype
         nd = 2 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -540,7 +552,8 @@ class GMGAssembler:
         levels = []
         for (op, Xe, conn32, mask, shape, Kq) in self.static_levels:
             coeff = self._level_coeff(op, Xe, conn32, Kq, rho_grid)
-            levels.append(Level(op, coeff, mask, shape, self.nd))
+            levels.append(Level(op, coeff, mask, shape, self.nd,
+                                smoother_dtype=self.smoother_dtype))
             rho_grid = _restrict_nodal(rho_grid)
         if self.coarse_dense and (
             int(np.prod(levels[-1].shape)) * self.nd <= 4096
@@ -579,8 +592,16 @@ def build_poisson_gmg(nx, ny, Lx, Ly, p=0.0, rho=None, dtype=jnp.float32,
     return asm.assemble(rho)
 
 
-def pcg(matvec, precond, b, rtol=1e-6, maxiter=500, x0=None):
-    """Flexible PCG with an arbitrary SPD preconditioner (traced)."""
+def pcg(matvec, precond, b, rtol=1e-6, maxiter=500, x0=None,
+        flexible=False):
+    """Preconditioned CG with an arbitrary SPD preconditioner (traced).
+
+    flexible=True uses the Polak-Ribiere beta
+    (z_new . (r_new - r_old) / rz_old), which tolerates a preconditioner
+    that varies between applications — required when the V-cycle smooths
+    in bfloat16 (rounding makes M change slightly per apply; plain PCG
+    then stalls, measured round 1).
+    """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     tol2 = (rtol * jnp.linalg.norm(b)) ** 2
@@ -599,11 +620,15 @@ def pcg(matvec, precond, b, rtol=1e-6, maxiter=500, x0=None):
         Ap = matvec(pv)
         alpha = rz / jnp.vdot(pv, Ap)
         x = x + alpha * pv
-        r = r - alpha * Ap
-        z = precond(r)
-        rz2 = jnp.vdot(r, z)
-        pv = z + (rz2 / rz) * pv
-        return (x, r, z, pv, rz2, k + 1)
+        r_new = r - alpha * Ap
+        z_new = precond(r_new)
+        if flexible:
+            beta = jnp.vdot(r_new - r, z_new) / rz
+        else:
+            beta = jnp.vdot(r_new, z_new) / rz
+        rz2 = jnp.vdot(r_new, z_new)
+        pv = z_new + beta * pv
+        return (x, r_new, z_new, pv, rz2, k + 1)
 
     x, r, *_, k = jax.lax.while_loop(cond, body, (x0, r, z, pvec, rz, 0))
     return x, k, jnp.sqrt(jnp.vdot(r, r).real)
@@ -644,7 +669,7 @@ class GMGAssembler3D:
     def __init__(self, nx, ny, nz, Lx, Ly, Lz, physics="elasticity",
                  E=10.0, nu=0.3, p=0.0, dtype=jnp.float32, nu_pre=2,
                  nu_post=2, omega=0.6, min_n=3, coarse_dense=True,
-                 elem_path="uniform"):
+                 elem_path="uniform", smoother_dtype=None):
         from .mesh import ProblemCreator
         from .elements import get_element
         from .ops import stiffness
@@ -655,6 +680,7 @@ class GMGAssembler3D:
         self.nu_pre, self.nu_post, self.omega = nu_pre, nu_post, omega
         self.coarse_dense = bool(coarse_dense)
         self.elem_path = elem_path
+        self.smoother_dtype = smoother_dtype
         nd = 3 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -727,7 +753,8 @@ class GMGAssembler3D:
             else:
                 Ke = self._elem_matrices(Xe, conn32, rho_grid.reshape(-1))
                 coeff = op.assemble(Ke)
-            levels.append(Level(op, coeff, mask, shape, self.nd))
+            levels.append(Level(op, coeff, mask, shape, self.nd,
+                                smoother_dtype=self.smoother_dtype))
             rho_grid = rho_grid[0::2, 0::2, 0::2]
         if self.coarse_dense and (
             int(np.prod(levels[-1].shape)) * self.nd <= 4096
