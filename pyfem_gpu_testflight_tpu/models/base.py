@@ -206,28 +206,100 @@ class FEModel:
         self._gmg_shape = (nz, ny, nx)
         return self
 
-    def _solve_gmg(self, rho, rhs, rtol=1e-8, maxiter=400):
-        from .. import multigrid
+    def attach_sharded_grid(self, mesh, nnodes_x, nnodes_y, **gmg_options):
+        """Enable the multi-device sharded GMG solve path (2D).
+
+        Shards the flagship GMG-PCG solver over ``mesh`` (node planes
+        block-partitioned along y, halo exchange via ppermute — see
+        parallel.sharded_gmg); afterwards ``solve(method="sharded_gmg")``
+        / ``compliance(solver="sharded_gmg")`` run the SPMD program.
+        Requires homogeneous (zero-valued) Dirichlet data.
+        """
+        from ..parallel.sharded_gmg import ShardedGMG2D
+
+        assert self.etype.name == "quad4", "sharded gmg requires quad4"
+        assert not np.asarray(self.bc.values).any(), (
+            "sharded gmg path supports zero Dirichlet values only"
+        )
+        nd = self.ndof_per_node
+        nx, ny = int(nnodes_x), int(nnodes_y)
+        assert nx * ny == self.nnodes
+        fine_mask = (
+            np.asarray(self.bc.mask).reshape(ny * nx, nd).T.reshape(nd, ny, nx)
+        )
+        physics = "elasticity" if nd == 2 else "poisson"
+        kw = dict(p=self.p, dtype=self.dtype, fine_mask=fine_mask)
+        if physics == "elasticity":
+            kw.update(E=self.E, nu=self.nu)
+        kw.update(gmg_options)
+        X = self.X_host
+        self._sgmg = ShardedGMG2D(
+            mesh, nx, ny, float(X[:, 0].max()), float(X[:, 1].max()),
+            physics, **kw
+        )
+        self._sgmg_shape = (ny, nx)
+        return self
+
+    def _solve_sharded_gmg(self, rho, rhs, rtol=1e-8, maxiter=400):
         from ..ops.dia import interleave_to_planar, planar_to_interleave
 
-        shape = self._gmg_shape
         nd = self.ndof_per_node
-        gmg, lv0 = self._gmg_asm.assemble(self._as_nodal(rho))
-        rhs_g = interleave_to_planar(
+        b = interleave_to_planar(
             jnp.asarray(rhs, self.dtype), nd
-        ).reshape((nd,) + shape)
-        vals_g = interleave_to_planar(
-            self.bc.values.astype(self.dtype), nd
-        ).reshape((nd,) + shape)
-        lift = lv0.op.matvec(lv0.coeff, jnp.where(lv0.mask, vals_g, 0.0))
-        b = jnp.where(lv0.mask, vals_g, rhs_g - lift)
-        x0 = jnp.where(lv0.mask, vals_g, 0.0)
-        x, k, rn = multigrid.pcg(
-            lv0.matvec, gmg.apply, b, rtol=rtol, maxiter=maxiter, x0=x0
+        ).reshape((nd,) + self._sgmg_shape)
+        x, k, rn = self._sgmg.solve(self._as_nodal(rho), b, rtol=rtol,
+                                    maxiter=maxiter)
+        bz = jnp.where(
+            jnp.asarray(self._sgmg.asm.static_levels[0][3]), 0.0, b
         )
-        _check_converged("gmg-pcg", rn, rtol * jnp.linalg.norm(b), k)
-        u = planar_to_interleave(x.reshape(-1), nd)
-        return u, planar_to_interleave(b.reshape(-1), nd)
+        _check_converged("sharded-gmg-pcg", rn,
+                         rtol * float(jnp.linalg.norm(bz)), k)
+        return (planar_to_interleave(x.reshape(-1), nd),
+                planar_to_interleave(bz.reshape(-1), nd))
+
+    def _solve_gmg(self, rho, rhs, rtol=1e-8, maxiter=400):
+        # one cached jit per model: eager multigrid ops pay a dispatch
+        # round trip each (ruinous over a remote-tunneled device)
+        if getattr(self, "_gmg_jit", None) is None:
+            from .. import multigrid
+            from ..ops.dia import interleave_to_planar, planar_to_interleave
+
+            shape = self._gmg_shape
+            nd = self.ndof_per_node
+
+            def step(rho_n, rhs_v, vals_v, rtol_v, maxiter):
+                gmg, lv0 = self._gmg_asm.assemble(rho_n)
+                rhs_g = interleave_to_planar(rhs_v, nd).reshape(
+                    (nd,) + shape
+                )
+                vals_g = interleave_to_planar(vals_v, nd).reshape(
+                    (nd,) + shape
+                )
+                lift = lv0.op.matvec(
+                    lv0.coeff, jnp.where(lv0.mask, vals_g, 0.0)
+                )
+                b = jnp.where(lv0.mask, vals_g, rhs_g - lift)
+                x0 = jnp.where(lv0.mask, vals_g, 0.0)
+                x, k, rn = multigrid.pcg(
+                    lv0.matvec, gmg.apply, b, rtol=rtol_v,
+                    maxiter=maxiter, x0=x0,
+                )
+                u = planar_to_interleave(x.reshape(-1), nd)
+                return (u, planar_to_interleave(b.reshape(-1), nd), k, rn,
+                        jnp.linalg.norm(b))
+
+            import jax
+
+            self._gmg_jit = jax.jit(step, static_argnames=("maxiter",))
+        u, b, k, rn, bnorm = self._gmg_jit(
+            self._as_nodal(rho).astype(self.dtype),
+            jnp.asarray(rhs, self.dtype),
+            self.bc.values.astype(self.dtype),
+            jnp.asarray(rtol, jnp.zeros((), self.dtype).real.dtype),
+            int(maxiter),
+        )
+        _check_converged("gmg-pcg", rn, rtol * float(bnorm), k)
+        return u, b
 
     def _solve_system(self, Ke, rhs, method="cg", rtol=1e-8, rho=None,
                       maxiter=None):
@@ -236,13 +308,22 @@ class FEModel:
         Returns:
             (u, b): solution and the BC-applied rhs (used by compliance).
         """
-        assert method in ("direct", "cg", "gmres", "gmg", "amg")
+        assert method in ("direct", "cg", "gmres", "gmg", "sharded_gmg",
+                          "amg")
         if method == "gmg":
             assert getattr(self, "_gmg_asm", None) is not None, (
                 "call attach_structured_grid(nx, ny) before method='gmg'"
             )
             return self._solve_gmg(rho if rho is not None else 1.0, rhs,
                                    rtol=rtol)
+        if method == "sharded_gmg":
+            assert getattr(self, "_sgmg", None) is not None, (
+                "call attach_sharded_grid(mesh, nx, ny) before "
+                "method='sharded_gmg'"
+            )
+            return self._solve_sharded_gmg(
+                rho if rho is not None else 1.0, rhs, rtol=rtol
+            )
         if method == "amg":
             # unstructured fast path: host smoothed-aggregation setup,
             # device DIA V-cycle PCG (pyamg's role, pyfem.py:2392-2400)

@@ -76,20 +76,34 @@ class Helmholtz(FEModel):
         self._coeffR = st.assemble(self.Re)
         diag = st.diagonal(self._coeffK)
         self._st_inv_diag = 1.0 / jnp.where(diag == 0, 1.0, diag)
-        return self
 
-    def _stencil_solve_K(self, b_grid):
+        # one jitted program per direction: eager PCG ops pay a dispatch
+        # round trip each over a remote-tunneled device; big arrays are
+        # jit arguments, never closure constants
         from ..multigrid import pcg
 
-        st = self._st
-        x, _, _ = pcg(
-            lambda u: st.matvec(self._coeffK, u),
-            lambda r: self._st_inv_diag * r,
-            b_grid,
-            rtol=self.rtol,
-            maxiter=10 * self.ndof,
-        )
-        return x
+        rtol, maxiter = self.rtol, 10 * self.ndof
+        shape = self._st_shape
+
+        def solve_K(coeffK, invd, b_grid):
+            x, _, _ = pcg(
+                lambda u: st.matvec(coeffK, u), lambda r: invd * r,
+                b_grid, rtol=rtol, maxiter=maxiter,
+            )
+            return x
+
+        def fwd(coeffK, coeffR, invd, x):
+            rho = solve_K(coeffK, invd,
+                          st.matvec(coeffR, x.reshape((1,) + shape)))
+            return rho.reshape(-1)
+
+        def bwd(coeffK, coeffR, invd, g):
+            z = solve_K(coeffK, invd, g.reshape((1,) + shape))
+            return st.matvec(coeffR, z).reshape(-1)
+
+        self._st_fwd = jax.jit(fwd)
+        self._st_bwd = jax.jit(bwd)
+        return self
 
     # -- core ops ------------------------------------------------------------
 
@@ -112,17 +126,16 @@ class Helmholtz(FEModel):
         """x -> rho = K^-1 R x."""
         x = jnp.asarray(x, dtype=self.dtype)
         if getattr(self, "_st", None) is not None:
-            xg = x.reshape((1,) + self._st_shape)
-            rho = self._stencil_solve_K(self._st.matvec(self._coeffR, xg))
-            return rho.reshape(-1)
+            return self._st_fwd(self._coeffK, self._coeffR,
+                                self._st_inv_diag, x)
         return self._solve_K(self.matvec(self.Re, x))
 
     def apply_gradient(self, gradrho):
         """d rho/d x transpose: g -> R^T K^-1 g (R is symmetric here)."""
         g = jnp.asarray(gradrho, dtype=self.dtype)
         if getattr(self, "_st", None) is not None:
-            z = self._stencil_solve_K(g.reshape((1,) + self._st_shape))
-            return self._st.matvec(self._coeffR, z).reshape(-1)
+            return self._st_bwd(self._coeffK, self._coeffR,
+                                self._st_inv_diag, g)
         return self.matvec(self.Re, self._solve_K(g))
 
     def compute_rhs(self, x):

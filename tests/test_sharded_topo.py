@@ -1,0 +1,48 @@
+"""End-to-end sharded topology optimization.
+
+The state solves of the MMA loop run through the y-sharded GMG solver
+(solver="sharded_gmg") on the 8-device virtual CPU mesh and must
+reproduce the single-device (solver="gmg") iterates.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pyfem_gpu_testflight_tpu as fem
+from pyfem_gpu_testflight_tpu.opt import TopoProblem
+from pyfem_gpu_testflight_tpu.opt.mma import MMA
+from pyfem_gpu_testflight_tpu.parallel import make_mesh
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _setup(solver, mesh=None):
+    nx, ny = 33, 17
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny,
+                                 element_type="quad")
+    conn, X, dof_fixed, nodal_force = (
+        creator.create_linear_elasticity_problem()
+    )
+    model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                 nodal_force, p=3.0, dtype=jnp.float64)
+    if solver == "gmg":
+        model.attach_structured_grid(nx, ny)
+    else:
+        model.attach_sharded_grid(mesh, nx, ny)
+    filtr = fem.Helmholtz(0.05, "quad4", X, conn)
+    filtr.attach_structured_grid(nx, ny)
+    return TopoProblem(model, filtr, fixed_volume=0.4, solver=solver)
+
+
+def test_sharded_topo_matches_single_device():
+    mesh = make_mesh(8)
+    opts = {"max_iterations": 3, "verbose": False}
+    o1 = MMA(_setup("gmg"), opts)
+    x1 = np.asarray(o1.optimize(), np.float64)
+    o2 = MMA(_setup("sharded_gmg", mesh), opts)
+    x2 = np.asarray(o2.optimize(), np.float64)
+    assert np.abs(x2 - x1).max() < 1e-7
+    objs1 = [h["obj"] for h in o1.history]
+    objs2 = [h["obj"] for h in o2.history]
+    np.testing.assert_allclose(objs1, objs2, rtol=1e-9)
