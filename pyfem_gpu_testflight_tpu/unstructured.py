@@ -166,13 +166,17 @@ class AMGPreconditioner:
     """
 
     def __init__(self, K_csr, nd=1, coords=None, dtype=jnp.float32, nu=2,
-                 coarse_n=800, max_levels=12, max_offsets=2048):
+                 coarse_n=800, max_levels=12, max_offsets=2048,
+                 smoother="chebyshev", cheb_degree=3):
         from scipy import sparse
 
         self.dtype = jnp.dtype(dtype)
         self.nu = int(nu)
+        self.smoother = smoother
+        self.cheb_degree = int(cheb_degree)
         self.w_sm = []
         self.w_jac = []
+        self.lam = []  # per-level rho(D^-1 A) estimate
 
         def node_graph(A, nd):
             if nd == 1:
@@ -218,6 +222,7 @@ class AMGPreconditioner:
             diag = np.asarray(A.diagonal())
             inv_diag = 1.0 / np.where(diag == 0, 1.0, diag)
             lam = lam_max(A, inv_diag)
+            self.lam.append(float(lam))
             self.w_sm.append(float((4.0 / 3.0) / lam))
             self.w_jac.append(float((4.0 / 3.0) / lam))
             level = {
@@ -289,6 +294,8 @@ class AMGPreconditioner:
         return self.levels[k]["op"].matvec(params[k][0], u)
 
     def _smooth(self, params, k, x, b, niter):
+        if self.smoother == "chebyshev":
+            return self._cheb_smooth(params, k, x, b)
         inv_diag = params[k][1]
         w = self.w_jac[k]
 
@@ -296,6 +303,28 @@ class AMGPreconditioner:
             return x + w * inv_diag * (b - self._matvec(params, k, x))
 
         return jax.lax.fori_loop(0, niter, body, x)
+
+    def _cheb_smooth(self, params, k, x, b):
+        """Chebyshev polynomial smoothing on D^-1 A (pyamg convention:
+        target interval [rho/30, 1.1 rho]); one matvec per degree —
+        much stronger high-frequency damping than Jacobi per matvec."""
+        inv_diag = params[k][1]
+        hi = 1.1 * self.lam[k]
+        lo = self.lam[k] / 30.0
+        theta = 0.5 * (hi + lo)
+        delta = 0.5 * (hi - lo)
+        sigma = theta / delta
+        r = inv_diag * (b - self._matvec(params, k, x))
+        d = r / theta
+        x = x + d
+        rho_old = 1.0 / sigma
+        for _ in range(self.cheb_degree - 1):
+            r = inv_diag * (b - self._matvec(params, k, x))
+            rho = 1.0 / (2.0 * sigma - rho_old)
+            d = rho * rho_old * d + (2.0 * rho / delta) * r
+            x = x + d
+            rho_old = rho
+        return x
 
     def _T(self, params, k, xc):
         """Tentative prolongation: one gather + a row-wise contraction."""
@@ -325,7 +354,16 @@ class AMGPreconditioner:
         if k == len(self.levels) - 1:
             dense = params[k][4]
             if dense is None:
-                return self._smooth(params, k, jnp.zeros_like(b), b, 24)
+                # smooth-to-death fallback: damped Jacobi, many sweeps
+                inv_diag = params[k][1]
+                w = self.w_jac[k]
+                return jax.lax.fori_loop(
+                    0, 24,
+                    lambda _, x: x + w * inv_diag * (
+                        b - self._matvec(params, k, x)
+                    ),
+                    jnp.zeros_like(b),
+                )
             return jax.scipy.linalg.solve(dense, b, assume_a="pos")
         x = self._smooth(params, k, jnp.zeros_like(b), b, self.nu)
         r = b - self._matvec(params, k, x)

@@ -48,8 +48,9 @@ def test_amg_iteration_count_rigid_modes():
     K = model.assemble_scipy(model.element_jacobian(1.0))
     K, b = model.bc.apply_scipy(K, np.asarray(model.compute_rhs()))
     x, k, rn = unstructured.amg_pcg(K, b, nd=2, coords=X, rtol=1e-8)
-    # rigid-body-mode SA: same order as structured GMG (~13-21 iters)
-    assert int(k) <= 45, int(k)
+    # rigid-body-mode SA + Chebyshev(3) smoothing: within ~2x of the
+    # structured GMG count (~9-13 iters); measured 22 at rtol 1e-10
+    assert int(k) <= 30, int(k)
     # and the rigid modes must beat translations-only
     x2, k2, _ = unstructured.amg_pcg(K, b, nd=2, rtol=1e-8)
     assert int(k) < int(k2)
