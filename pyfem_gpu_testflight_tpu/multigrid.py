@@ -298,12 +298,15 @@ class GMG:
     """V-cycle preconditioner over a list of Levels (fine -> coarse)."""
 
     def __init__(self, levels, nu_pre=2, nu_post=2, omega=0.7,
-                 coarse_iters=24, restrict_fn=None, prolong_fn=None):
+                 coarse_iters=24, restrict_fn=None, prolong_fn=None,
+                 smoother="jacobi", cheb_lam=2.2):
         self.levels = list(levels)
         self.nu_pre = int(nu_pre)
         self.nu_post = int(nu_post)
         self.omega = float(omega)
         self.coarse_iters = int(coarse_iters)
+        self.smoother = smoother
+        self.cheb_lam = float(cheb_lam)
         dim = len(self.levels[0].shape)
         self.restrict_fn = restrict_fn or (
             restrict2d_conv if dim == 2 else restrict3d_conv
@@ -313,6 +316,8 @@ class GMG:
         )
 
     def _smooth(self, lv: Level, x, b, niter):
+        if self.smoother == "chebyshev":
+            return self._cheb_smooth(lv, x, b, niter)
         # fori_loop keeps the compiled program small (one smoother body
         # per level instead of niter unrolled 21-slice matvecs — remote
         # compile time scales with program size)
@@ -323,6 +328,33 @@ class GMG:
             return x + omega * lv.inv_diag * jnp.where(lv.mask, 0.0, r)
 
         return jax.lax.fori_loop(0, niter, body, x)
+
+    def _cheb_smooth(self, lv: Level, x, b, degree):
+        """Chebyshev smoothing on D^-1 A over [lam/30, 1.1 lam].
+
+        One matvec per degree; ``cheb_lam`` is a spectral-radius bound
+        of D^-1 A (mesh-independent ~2.2 on uniform quad4/hex8 grids —
+        Chebyshev tolerates modest overestimates).
+        """
+        hi = 1.1 * self.cheb_lam
+        lo = self.cheb_lam / 30.0
+        theta = 0.5 * (hi + lo)
+        delta = 0.5 * (hi - lo)
+        sigma = theta / delta
+
+        def resid(x):
+            r = b - lv.matvec_lp(x)
+            return lv.inv_diag * jnp.where(lv.mask, 0.0, r)
+
+        d = resid(x) / theta
+        x = x + d
+        rho_old = 1.0 / sigma
+        for _ in range(int(degree) - 1):
+            rho = 1.0 / (2.0 * sigma - rho_old)
+            d = rho * rho_old * d + (2.0 * rho / delta) * resid(x)
+            x = x + d
+            rho_old = rho
+        return x
 
     def _cycle(self, k, b):
         lv = self.levels[k]
@@ -393,7 +425,8 @@ class GMGAssembler:
     def __init__(self, nx, ny, Lx, Ly, physics="elasticity", E=10.0, nu=0.3,
                  p=0.0, dtype=jnp.float32, nu_pre=2, nu_post=2, omega=0.7,
                  min_n=5, fine_mask=None, coarse_dense=True,
-                 elem_path="uniform", smoother_dtype=None):
+                 elem_path="uniform", smoother_dtype=None,
+                 smoother="jacobi", cheb_lam=2.2):
         """fine_mask: optional (nd, ny, nx) bool Dirichlet mask; coarse
         masks are derived by injection (default: clamp the x=0 column,
         matching ProblemCreator's problem factories).
@@ -419,6 +452,7 @@ class GMGAssembler:
         self.coarse_dense = bool(coarse_dense)
         self.elem_path = elem_path
         self.smoother_dtype = smoother_dtype
+        self.smoother, self.cheb_lam = smoother, cheb_lam
         nd = 2 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -560,7 +594,8 @@ class GMGAssembler:
         ):
             levels[-1].dense_factor()
         gmg = GMG(levels, nu_pre=self.nu_pre, nu_post=self.nu_post,
-                  omega=self.omega)
+                  omega=self.omega, smoother=self.smoother,
+                  cheb_lam=self.cheb_lam)
         return gmg, levels[0]
 
 
@@ -669,7 +704,8 @@ class GMGAssembler3D:
     def __init__(self, nx, ny, nz, Lx, Ly, Lz, physics="elasticity",
                  E=10.0, nu=0.3, p=0.0, dtype=jnp.float32, nu_pre=2,
                  nu_post=2, omega=0.6, min_n=3, coarse_dense=True,
-                 elem_path="uniform", smoother_dtype=None):
+                 elem_path="uniform", smoother_dtype=None,
+                 smoother="jacobi", cheb_lam=2.2):
         from .mesh import ProblemCreator
         from .elements import get_element
         from .ops import stiffness
@@ -681,6 +717,7 @@ class GMGAssembler3D:
         self.coarse_dense = bool(coarse_dense)
         self.elem_path = elem_path
         self.smoother_dtype = smoother_dtype
+        self.smoother, self.cheb_lam = smoother, cheb_lam
         nd = 3 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -761,5 +798,6 @@ class GMGAssembler3D:
         ):
             levels[-1].dense_factor()
         gmg = GMG(levels, nu_pre=self.nu_pre, nu_post=self.nu_post,
-                  omega=self.omega)
+                  omega=self.omega, smoother=self.smoother,
+                  cheb_lam=self.cheb_lam)
         return gmg, levels[0]
