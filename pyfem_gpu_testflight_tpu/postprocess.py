@@ -157,6 +157,70 @@ def natural_frequencies(model, k=5, sigma=0.0, density=1.0, rho=None):
     return np.sqrt(np.maximum(eigs, 0.0)), modes
 
 
+def lumped_mass(model, density=1.0):
+    """(ndof,) row-sum (lumped) mass vector from the consistent mass."""
+    Me = mass_matrix(model, density)
+    ones = jnp.ones(model.ndof, dtype=Me.dtype)
+    return model.matvec(Me, ones)
+
+
+def natural_frequencies_device(model, k=5, density=1.0, rho=None,
+                               maxiter=200, tol=1e-9):
+    """Lowest natural frequencies fully on device (matrix-free LOBPCG).
+
+    The TPU-native companion to :func:`natural_frequencies` (which keeps
+    the reference's host shift-invert eigsh, ref_plane_stress.py:320-340):
+    lumps the consistent mass (row sums), symmetrizes to the standard
+    problem A = M^-1/2 K M^-1/2, and runs jax's LOBPCG on the flipped
+    spectrum c I - A so the *smallest* modes come out — no factorization,
+    only the matrix-free element SpMV.
+
+    Lumped mass is a standard (slightly low-pass) approximation of the
+    consistent-mass frequencies; verify against the host path when
+    consistent-mass accuracy matters.
+
+    Returns:
+        (omega, modes): (k,) frequencies and (ndof, k) M-orthonormal
+        modes, zero at fixed dofs.
+    """
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    Ke = model.element_jacobian(1.0 if rho is None else rho)
+    ml = lumped_mass(model, density)
+    mask = model.bc.mask
+    inv_sqrt_m = jnp.where(mask | (ml <= 0), 0.0, 1.0 / jnp.sqrt(ml))
+
+    def A_free(V):  # maps the free subspace to itself (zero at mask)
+        W = inv_sqrt_m[:, None] * V
+        KW = jax.vmap(lambda v: model.matvec(Ke, v), in_axes=1, out_axes=1)(W)
+        return inv_sqrt_m[:, None] * KW
+
+    # spectral upper bound of the free block by power iteration
+    v = jnp.where(mask[:, None], 0.0,
+                  jnp.ones((model.ndof, 1), ml.dtype))
+    v = v / jnp.linalg.norm(v)
+    for _ in range(15):
+        v = A_free(v)
+        v = v / jnp.linalg.norm(v)
+    c = 1.2 * jnp.vdot(v[:, 0], A_free(v)[:, 0]).real + 1.0
+
+    # fixed dofs get 2c so they sit *below* every free mode on the
+    # flipped spectrum c I - A (a 0 or O(1) value would interleave)
+    def A(V):
+        return A_free(V) + (2.0 * c) * jnp.where(mask[:, None], V, 0.0)
+
+    rng = np.random.RandomState(0)
+    X0 = jnp.asarray(rng.standard_normal((model.ndof, k)), ml.dtype)
+    X0 = jnp.where(mask[:, None], 0.0, X0)
+    theta, U, _ = lobpcg_standard(lambda V: c * V - A(V), X0, m=maxiter)
+    lam = c - theta
+    order = jnp.argsort(lam)
+    lam = lam[order]
+    U = U[:, order]
+    modes = jnp.where(mask[:, None], 0.0, inv_sqrt_m[:, None] * U)
+    return jnp.sqrt(jnp.maximum(lam, 0.0)), modes
+
+
 def ks_aggregate(model, u, pval):
     """KS max-aggregate of the scalar field u over the domain.
 

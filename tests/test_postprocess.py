@@ -156,3 +156,26 @@ def test_ks_total_design_gradient_complex_step():
     ucs = spsolve(Kbc, rhsbc)
     fd = complex(post.ks_aggregate(model, jnp.asarray(ucs), pval)).imag / h
     assert abs(pvec.dot(grad) - fd) / abs(fd) < 1e-12
+
+
+def test_natural_frequencies_device_lobpcg():
+    """Matrix-free device LOBPCG vs host eigsh on the same lumped mass."""
+    from scipy.sparse import linalg as sla, diags
+    from pyfem_gpu_testflight_tpu import postprocess as pp
+
+    creator = fem.ProblemCreator(nnodes_x=24, nnodes_y=12)
+    conn, X, dof_fixed, force = creator.create_linear_elasticity_problem()
+    m = fem.LinearElasticity("quad4", X, conn, dof_fixed, None, force)
+
+    K = m.assemble_scipy(m.element_jacobian())
+    ml = np.asarray(pp.lumped_mass(m))
+    free = np.setdiff1d(np.arange(m.ndof), np.asarray(m.bc.fixed))
+    ref, _ = sla.eigsh(K[free][:, free].tocsc(),
+                       M=diags(ml[free]).tocsc(), k=4, sigma=0.0,
+                       which="LM")
+    ref = np.sqrt(np.maximum(np.sort(ref), 0))
+
+    w, modes = pp.natural_frequencies_device(m, k=4)
+    np.testing.assert_allclose(np.asarray(w), ref, rtol=1e-6)
+    # modes vanish at fixed dofs
+    assert np.abs(np.asarray(modes)[np.asarray(m.bc.fixed)]).max() < 1e-12
