@@ -120,4 +120,37 @@ void expand_pattern_i64(const int64_t* conn_dof, int64_t nelems,
   }
 }
 
+// Greedy BFS aggregation on a CSR graph (smoothed-aggregation AMG
+// setup, see pyfem_gpu_testflight_tpu/unstructured.py).  Two passes:
+// roots with fully-unaggregated neighborhoods absorb their neighbors;
+// leftovers attach to an aggregated neighbor (or become singletons).
+// Returns the number of aggregates; agg_out[i] in [0, n_agg).
+int64_t greedy_aggregate_csr(const int64_t* indptr, const int64_t* indices,
+                             int64_t n, int64_t* agg_out) {
+  std::fill(agg_out, agg_out + n, int64_t(-1));
+  int64_t next_id = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg_out[i] >= 0) continue;
+    bool clean = true;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      if (agg_out[indices[p]] >= 0) { clean = false; break; }
+    }
+    if (!clean) continue;
+    agg_out[i] = next_id;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      agg_out[indices[p]] = next_id;
+    }
+    next_id++;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg_out[i] >= 0) continue;
+    int64_t found = -1;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      if (agg_out[indices[p]] >= 0) { found = agg_out[indices[p]]; break; }
+    }
+    agg_out[i] = (found >= 0) ? found : next_id++;
+  }
+  return next_id;
+}
+
 }  // extern "C"

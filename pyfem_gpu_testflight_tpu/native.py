@@ -14,7 +14,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["get_lib", "unique_inverse", "expand_pattern"]
+__all__ = ["get_lib", "unique_inverse", "expand_pattern", "greedy_aggregate"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libfastsetup.so")
@@ -53,6 +53,13 @@ def get_lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.greedy_aggregate_csr.restype = ctypes.c_int64
+        lib.greedy_aggregate_csr.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.unique_inverse_i64_keys.restype = ctypes.c_int64
         lib.unique_inverse_i64_keys.argtypes = [
@@ -128,3 +135,20 @@ def expand_pattern(conn_dof: np.ndarray):
     lib.expand_pattern_i64(_ptr_i64(conn_dof), nelems, ndpe,
                            _ptr_i64(rows), _ptr_i64(cols))
     return rows, cols
+
+
+def greedy_aggregate(indptr: np.ndarray, indices: np.ndarray, n: int):
+    """Greedy BFS graph aggregation (AMG setup); native when available.
+
+    Returns:
+        (agg, n_agg) with agg int64 of shape (n,).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None  # caller falls back to the Python loop
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    agg = np.empty(int(n), dtype=np.int64)
+    n_agg = lib.greedy_aggregate_csr(_ptr_i64(indptr), _ptr_i64(indices),
+                                     int(n), _ptr_i64(agg))
+    return agg, int(n_agg)

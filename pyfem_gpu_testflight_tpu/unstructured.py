@@ -91,9 +91,19 @@ def rigid_body_modes(coords, nd):
 
 
 def _greedy_aggregate(A_csr):
-    """Greedy BFS aggregation on the matrix graph -> agg id per node."""
+    """Greedy BFS aggregation on the matrix graph -> agg id per node.
+
+    Uses the native C++ pass (native/fastsetup.cpp) when available —
+    the Python loop is O(n) but slow on a throttled host core at
+    100k+ nodes; results are identical.
+    """
     n = A_csr.shape[0]
     indptr, indices = A_csr.indptr, A_csr.indices
+    from .native import greedy_aggregate
+
+    native = greedy_aggregate(indptr, indices, n)
+    if native is not None:
+        return native
     agg = np.full(n, -1, dtype=np.int64)
     next_id = 0
     for i in range(n):  # pass 1: roots with unaggregated neighborhoods
