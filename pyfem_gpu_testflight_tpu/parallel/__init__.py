@@ -4,12 +4,13 @@ from .sharding import (
     make_mesh,
     pad_elements,
 )
-from .sharded_gmg import ShardedGMG2D
+from .sharded_gmg import ShardedGMG2D, ShardedGMG3D
 
 __all__ = [
     "ShardedElasticity",
     "ShardedPoisson",
     "ShardedGMG2D",
+    "ShardedGMG3D",
     "make_mesh",
     "pad_elements",
 ]

@@ -1,4 +1,4 @@
-"""Sharded geometric multigrid: node planes block-partitioned along y.
+"""Sharded geometric multigrid: node planes block-partitioned over devices.
 
 Round-1 multi-chip solving was the slow Jacobi path with replicated dof
 vectors.  This module shards the *flagship* GMG-PCG solver itself (the
@@ -6,15 +6,18 @@ TPU replacement for the reference's pyamg-preconditioned CG,
 pyfem.py:2392-2422) over a 1D ``jax.sharding.Mesh``:
 
 * every vector/coefficient plane of the fine levels is block-partitioned
-  along the y (rows) axis — memory and smoothing FLOPs scale with the
-  device count, the x axis stays on the 128 lanes;
-* the 3x3 stencil matvec needs one halo row per side, exchanged with
+  along the leading spatial axis (y in 2D, z in 3D) — memory and
+  smoothing FLOPs scale with the device count; the x axis stays on the
+  128 lanes;
+* the 3^d stencil matvec needs one halo slab per side, exchanged with
   ``jax.lax.ppermute`` (XLA lowers it to ICI neighbor transfers on real
   hardware; devices at the global boundary receive zeros, matching the
   zero-padded global matvec);
 * grid transfers are the same stride-2 tent convs as the single-chip
-  path (multigrid.restrict2d_conv / prolong2d_conv), evaluated on haloed
-  local blocks — bitwise the same math as the global convs;
+  path (multigrid.restrict/prolong*_conv), evaluated on haloed local
+  blocks — bitwise the same math as the global convs (NOTE:
+  jax.lax.conv_transpose applies explicit padding pairs to the dilated
+  input, so the sharded prolongation pads (1, 0) on the sharded axis);
 * coarse levels below the sharded prefix are *replicated*: one
   ``all_gather`` of the (tiny) residual, then every device redundantly
   runs the remaining V-cycle including the dense-Cholesky coarsest
@@ -22,21 +25,22 @@ pyfem.py:2392-2422) over a 1D ``jax.sharding.Mesh``:
   sharding constraints on odd coarse sizes;
 * dot products in PCG are local vdots + ``psum``.
 
-Padding scheme: a level with ny real rows is padded to D*nyl rows
-(nyl = m * 2^(S-1-l), m = ceil((ny0-1+2^(S-1)) / (D*2^(S-1)))), so every
-sharded level's local row count halves exactly between levels and the
+Padding scheme: a level with n real slabs is padded to D*nl slabs
+(nl = m * 2^(S-1-l), m = ceil((n0-1+2^(S-1)) / (D*2^(S-1)))), so every
+sharded level's local slab count halves exactly between levels and the
 stride-2 transfers never straddle a shard boundary by more than the one
-halo row.  Padded rows carry zero coefficients and a True Dirichlet
+halo slab.  Padded slabs carry zero coefficients and a True Dirichlet
 mask; all vectors are zero there throughout, so the iteration on the
-real sub-grid is *identical* to the unsharded solver (the round-2 test
-asserts this to solver tolerance).
+real sub-grid is *identical* to the unsharded solver (gated to 2e-15 in
+tests/test_sharded_gmg.py).
 
-Everything — assembly of the hierarchy, padding/sharding constraints,
-the shard_mapped PCG — is one jitted SPMD program.
+Everything — hierarchy assembly, padding/sharding constraints, the
+shard_mapped PCG — is one jitted SPMD program.
 """
 
 from __future__ import annotations
 
+import itertools
 import math
 
 import numpy as np
@@ -46,57 +50,67 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .sharding import shard_map
 from .. import multigrid
-from ..multigrid import GMGAssembler, restrict2d_conv, prolong2d_conv, _tent_kernel
+from ..multigrid import (
+    GMGAssembler,
+    GMGAssembler3D,
+    _tent_kernel,
+    prolong2d_conv,
+    prolong3d_conv,
+    restrict2d_conv,
+    restrict3d_conv,
+)
 
-__all__ = ["ShardedGMG2D", "dryrun"]
+__all__ = ["ShardedGMG2D", "ShardedGMG3D", "dryrun"]
 
 
-class ShardedGMG2D:
-    """Element-assembled, y-sharded GMG-PCG plane-stress/Poisson solver.
+class _ShardedGMGBase:
+    """Dimension-generic sharded GMG-PCG over a 1D device mesh."""
 
-    Args:
-        mesh: 1D device mesh; its single axis shards the y (rows) axis.
-        nx, ny: fine node grid (same conventions as GMGAssembler).
-        n_sharded: how many fine levels to shard (default: all but the
-            coarsest; the rest run replicated).
-    """
+    dim: int  # spatial dimensions (2 or 3); sharded axis = leading one
 
-    def __init__(self, mesh: Mesh, nx, ny, Lx, Ly, physics="elasticity",
-                 E=10.0, nu=0.3, p=0.0, dtype=jnp.float32, nu_pre=2,
-                 nu_post=2, omega=0.7, min_n=5, n_sharded=None,
-                 fine_mask=None):
+    def __init__(self, mesh: Mesh, asm, n_lead, n_sharded=None):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.D = int(mesh.devices.size)
-        self.dtype = dtype
-        self.asm = GMGAssembler(
-            nx, ny, Lx, Ly, physics, E=E, nu=nu, p=p, dtype=dtype,
-            nu_pre=nu_pre, nu_post=nu_post, omega=omega, min_n=min_n,
-            fine_mask=fine_mask,
-        )
-        self.nd = self.asm.nd
-        nlev = len(self.asm.sizes)
-        max_s = max(1, nlev - 1)  # keep >= 1 replicated (coarse-solve) level
+        self.asm = asm
+        self.dtype = asm.dtype
+        self.nd = asm.nd
+        nlev = len(asm.sizes)
+        max_s = max(1, nlev - 1)  # keep >= 1 replicated (coarse) level
         S = max_s if n_sharded is None else max(1, min(int(n_sharded), max_s))
         self.S = S
-        # local rows per sharded level: halve exactly between levels
-        m = math.ceil((ny - 1 + (1 << (S - 1))) / (self.D * (1 << (S - 1))))
-        self.nyl = [m * (1 << (S - 1 - l)) for l in range(S)]
-        # (ny, nx) real shapes per level, fine -> coarse
-        self.shapes = [sl[4] for sl in self.asm.static_levels]
+        # local slabs per sharded level: halve exactly between levels
+        m = math.ceil(
+            (n_lead - 1 + (1 << (S - 1))) / (self.D * (1 << (S - 1)))
+        )
+        self.nl = [m * (1 << (S - 1 - l)) for l in range(S)]
+        self.shapes = [sl[4] for sl in asm.static_levels]
+        if self.dim == 2:
+            self._restrict_full = restrict2d_conv
+            self._prolong_full = prolong2d_conv
+            self._tdims = ("NCHW", "HWIO", "NCHW")
+            self._kperm = (2, 3, 0, 1)
+        else:
+            self._restrict_full = restrict3d_conv
+            self._prolong_full = prolong3d_conv
+            self._tdims = ("NCDHW", "DHWIO", "NCDHW")
+            self._kperm = (2, 3, 4, 0, 1)
         self._jit_step = None
 
     # -- the shard_mapped solve -------------------------------------------
 
     def _local_solve(self, sh_coeff, sh_mask, sh_invd, rep, b0, rtol,
                      maxiter):
-        """Per-device PCG + V-cycle on local y-blocks (runs under shard_map)."""
-        axis, D, S, nd = self.axis, self.D, self.S, self.nd
+        """Per-device PCG + V-cycle on local blocks (under shard_map)."""
+        axis, D, S, nd, dim = self.axis, self.D, self.S, self.nd, self.dim
         nu_pre, nu_post = self.asm.nu_pre, self.asm.nu_post
         omega = self.asm.omega
         rep_coeff, rep_mask, rep_invd, chol = rep
         fwd = [(i, i + 1) for i in range(D - 1)]
         bwd = [(i + 1, i) for i in range(D - 1)]
+        offsets = list(itertools.product(range(3), repeat=dim))
+        # pad spec: nothing on (nd, lead); 1 on the trailing spatial axes
+        trail_pad = ((0, 0), (0, 0)) + ((1, 1),) * (dim - 1)
 
         def halo(u):
             lo = jax.lax.ppermute(u[:, -1:], axis, fwd)
@@ -105,19 +119,18 @@ class ShardedGMG2D:
 
         def matvec(l, u):
             coeff, mask = sh_coeff[l], sh_mask[l]
-            nyl, nx = u.shape[1], u.shape[2]
-            uh = halo(jnp.where(mask, 0.0, u))
-            up = jnp.pad(uh, ((0, 0), (0, 0), (1, 1)))
+            sp = u.shape[1:]
+            up = jnp.pad(halo(jnp.where(mask, 0.0, u)), trail_pad)
             ys = []
             for c in range(nd):
                 acc = None
                 for cp in range(nd):
-                    for dy in range(3):
-                        for dx in range(3):
-                            t = coeff[c, cp, dy, dx] * up[
-                                cp, dy : dy + nyl, dx : dx + nx
-                            ]
-                            acc = t if acc is None else acc + t
+                    for off in offsets:
+                        sl = (cp,) + tuple(
+                            slice(o, o + n) for o, n in zip(off, sp)
+                        )
+                        t = coeff[(c, cp) + off] * up[sl]
+                        acc = t if acc is None else acc + t
                 ys.append(acc)
             return jnp.where(mask, u, jnp.stack(ys))
 
@@ -130,32 +143,32 @@ class ShardedGMG2D:
 
             return jax.lax.fori_loop(0, niter, body, x)
 
-        tent = _tent_kernel(2, b0.dtype)
+        tent = _tent_kernel(dim, b0.dtype)
+        conv_pad = ((0, 0),) + ((1, 1),) * (dim - 1)
 
         def restrict_loc(f):
-            """Haloed stride-2 tent conv: local fine block -> local coarse."""
-            fh = halo(f)
+            """Haloed stride-2 tent conv: local fine -> local coarse."""
             out = jax.lax.conv_general_dilated(
-                fh[:, None], tent, window_strides=(2, 2),
-                padding=((0, 0), (1, 1)),
-                precision=jax.lax.Precision.HIGHEST,
+                halo(f)[:, None], tent, window_strides=(2,) * dim,
+                padding=conv_pad, precision=jax.lax.Precision.HIGHEST,
             )
             return out[:, 0]
+
+        tpad = ((1, 0),) + ((1, 1),) * (dim - 1)
 
         def prolong_loc(c):
             """Right-haloed conv_transpose: local coarse -> local fine."""
             hi = jax.lax.ppermute(c[:, :1], axis, bwd)
             ch = jnp.concatenate([c, hi], axis=1)
             out = jax.lax.conv_transpose(
-                ch[:, None],
-                jnp.transpose(tent, (2, 3, 0, 1)),  # HWIO
-                strides=(2, 2), padding=((1, 0), (1, 1)),
-                dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                ch[:, None], jnp.transpose(tent, self._kperm),
+                strides=(2,) * dim, padding=tpad,
+                dimension_numbers=self._tdims,
                 precision=jax.lax.Precision.HIGHEST,
             )
             return out[:, 0]
 
-        # replicated tail: plain Stencil2D matvecs on full (small) grids
+        # replicated tail: plain stencil matvecs on full (small) grids
         rep_ops = [sl[0] for sl in self.asm.static_levels[S:]]
         rep_shapes = self.shapes[S:]
 
@@ -174,19 +187,21 @@ class ShardedGMG2D:
         def rep_cycle(i, b):
             if i == len(rep_ops) - 1:
                 if chol is not None:
-                    x = jax.scipy.linalg.cho_solve((chol, False), b.reshape(-1))
+                    x = jax.scipy.linalg.cho_solve((chol, False),
+                                                   b.reshape(-1))
                     return x.reshape(b.shape)
                 return rep_smooth(i, jnp.zeros_like(b), b, 24)
             x = rep_smooth(i, jnp.zeros_like(b), b, nu_pre)
             r = jnp.where(rep_mask[i], 0.0, b - rep_matvec(i, x))
-            bc = restrict2d_conv(r, rep_shapes[i + 1])
+            bc = self._restrict_full(r, rep_shapes[i + 1])
             bc = jnp.where(rep_mask[i + 1], 0.0, bc)
-            corr = prolong2d_conv(rep_cycle(i + 1, bc), rep_shapes[i])
+            corr = self._prolong_full(rep_cycle(i + 1, bc), rep_shapes[i])
             x = x + jnp.where(rep_mask[i], 0.0, corr)
             return rep_smooth(i, x, b, nu_post)
 
-        ny_last, nx_last = self.shapes[S - 1]
-        nyl_last = self.nyl[S - 1]
+        last_shape = self.shapes[S - 1]
+        n_last = last_shape[0]
+        nl_last = self.nl[S - 1]
 
         def vcycle(b):
             bs, xs = [b], []
@@ -201,19 +216,22 @@ class ShardedGMG2D:
                     # gather the coarsest-sharded residual, run the
                     # replicated tail redundantly on every device
                     r_full = jax.lax.all_gather(r, axis, axis=1, tiled=True)
-                    r_full = r_full[:, :ny_last]
+                    r_full = r_full[:, :n_last]
                     if rep_ops:
-                        bc = restrict2d_conv(r_full, rep_shapes[0])
+                        bc = self._restrict_full(r_full, rep_shapes[0])
                         bc = jnp.where(rep_mask[0], 0.0, bc)
                         xc = rep_cycle(0, bc)
-                        corr_full = prolong2d_conv(xc, (ny_last, nx_last))
+                        corr_full = self._prolong_full(xc, last_shape)
                     else:
                         corr_full = jnp.zeros_like(r_full)
-                    pad = D * nyl_last - ny_last
-                    corr_full = jnp.pad(corr_full, ((0, 0), (0, pad), (0, 0)))
+                    pad = D * nl_last - n_last
+                    corr_full = jnp.pad(
+                        corr_full,
+                        ((0, 0), (0, pad)) + ((0, 0),) * (dim - 1),
+                    )
                     d = jax.lax.axis_index(axis)
                     corr = jax.lax.dynamic_slice_in_dim(
-                        corr_full, d * nyl_last, nyl_last, axis=1
+                        corr_full, d * nl_last, nl_last, axis=1
                     )
             for l in reversed(range(S)):
                 x = xs[l] + jnp.where(sh_mask[l], 0.0, corr)
@@ -253,25 +271,26 @@ class ShardedGMG2D:
 
     def _step(self, rho, b_planar, rtol, maxiter):
         """Traceable: assemble hierarchy -> pad/shard -> shard_mapped PCG."""
-        mesh, axis, D, S = self.mesh, self.axis, self.D, self.S
+        mesh, axis, D, S, dim = self.mesh, self.axis, self.D, self.S, self.dim
         gmg, _ = self.asm.assemble(rho)
         levels = gmg.levels
 
-        cspec = P(None, None, None, None, axis, None)
-        vspec = P(None, axis, None)
+        cspec = P(*((None,) * (2 + dim) + (axis,) + (None,) * (dim - 1)))
+        vspec = P(*((None, axis) + (None,) * (dim - 1)))
         csh = NamedSharding(mesh, cspec)
         vsh = NamedSharding(mesh, vspec)
         rep_sh = NamedSharding(mesh, P())
+        cpad_pre = ((0, 0),) * (2 + dim)
+        trail0 = ((0, 0),) * (dim - 1)
 
         sh_coeff, sh_mask, sh_invd = [], [], []
         for l in range(S):
             lv = levels[l]
-            ny_l, _ = lv.shape
-            pad = D * self.nyl[l] - ny_l
-            coeff = jnp.pad(lv.coeff, ((0, 0),) * 4 + ((0, pad), (0, 0)))
-            mask = jnp.pad(lv.mask, ((0, 0), (0, pad), (0, 0)),
+            pad = D * self.nl[l] - lv.shape[0]
+            coeff = jnp.pad(lv.coeff, cpad_pre + ((0, pad),) + trail0)
+            mask = jnp.pad(lv.mask, ((0, 0), (0, pad)) + trail0,
                            constant_values=True)
-            invd = jnp.pad(lv.inv_diag, ((0, 0), (0, pad), (0, 0)),
+            invd = jnp.pad(lv.inv_diag, ((0, 0), (0, pad)) + trail0,
                            constant_values=1.0)
             sh_coeff.append(jax.lax.with_sharding_constraint(coeff, csh))
             sh_mask.append(jax.lax.with_sharding_constraint(mask, vsh))
@@ -279,14 +298,18 @@ class ShardedGMG2D:
 
         rep_coeff, rep_mask, rep_invd = [], [], []
         for lv in levels[S:]:
-            rep_coeff.append(jax.lax.with_sharding_constraint(lv.coeff, rep_sh))
+            rep_coeff.append(
+                jax.lax.with_sharding_constraint(lv.coeff, rep_sh)
+            )
             rep_mask.append(jax.lax.with_sharding_constraint(lv.mask, rep_sh))
-            rep_invd.append(jax.lax.with_sharding_constraint(lv.inv_diag, rep_sh))
+            rep_invd.append(
+                jax.lax.with_sharding_constraint(lv.inv_diag, rep_sh)
+            )
         chol = levels[-1].chol[0] if levels[-1].chol is not None else None
 
-        ny0, _ = self.shapes[0]
-        pad0 = D * self.nyl[0] - ny0
-        b = jnp.pad(b_planar, ((0, 0), (0, pad0), (0, 0)))
+        n0 = self.shapes[0][0]
+        pad0 = D * self.nl[0] - n0
+        b = jnp.pad(b_planar, ((0, 0), (0, pad0)) + trail0)
         b = jax.lax.with_sharding_constraint(b, vsh)
 
         solve = shard_map(
@@ -305,23 +328,57 @@ class ShardedGMG2D:
             (rep_coeff, rep_mask, rep_invd, chol),
             b, jnp.asarray(rtol, b.dtype), jnp.asarray(maxiter, jnp.int32),
         )
-        return x[:, :ny0], k, rn
+        return x[:, :n0], k, rn
 
     def solve(self, rho, b_planar, rtol=1e-6, maxiter=200):
         """Assemble + sharded GMG-PCG; one jitted SPMD program.
 
         Args:
-            rho: fine nodal density, (ny*nx,) or (ny, nx).
-            b_planar: rhs as (nd, ny, nx) component planes (BCs by mask).
+            rho: fine nodal density (flattened or grid-shaped).
+            b_planar: rhs as (nd, *grid) component planes (zero Dirichlet
+                values; BCs by mask).
 
         Returns:
-            (x, iters, resnorm) with x as (nd, ny, nx) planes.
+            (x, iters, resnorm) with x as (nd, *grid) planes.
         """
         if self._jit_step is None:
             self._jit_step = jax.jit(self._step)
         rho = jnp.asarray(rho, self.dtype).reshape(-1)
         b = jnp.asarray(b_planar, self.dtype)
         return self._jit_step(rho, b, rtol, maxiter)
+
+
+class ShardedGMG2D(_ShardedGMGBase):
+    """2D quad4 GMG-PCG sharded along y (rows of the node grid)."""
+
+    dim = 2
+
+    def __init__(self, mesh: Mesh, nx, ny, Lx, Ly, physics="elasticity",
+                 E=10.0, nu=0.3, p=0.0, dtype=jnp.float32, nu_pre=2,
+                 nu_post=2, omega=0.7, min_n=5, n_sharded=None,
+                 fine_mask=None):
+        asm = GMGAssembler(
+            nx, ny, Lx, Ly, physics, E=E, nu=nu, p=p, dtype=dtype,
+            nu_pre=nu_pre, nu_post=nu_post, omega=omega, min_n=min_n,
+            fine_mask=fine_mask,
+        )
+        super().__init__(mesh, asm, int(ny), n_sharded)
+
+
+class ShardedGMG3D(_ShardedGMGBase):
+    """3D hex8 GMG-PCG sharded along z (slabs of the node grid)."""
+
+    dim = 3
+
+    def __init__(self, mesh: Mesh, nx, ny, nz, Lx, Ly, Lz,
+                 physics="elasticity", E=10.0, nu=0.3, p=0.0,
+                 dtype=jnp.float32, nu_pre=2, nu_post=2, omega=0.6,
+                 min_n=3, n_sharded=None):
+        asm = GMGAssembler3D(
+            nx, ny, nz, Lx, Ly, Lz, physics, E=E, nu=nu, p=p, dtype=dtype,
+            nu_pre=nu_pre, nu_post=nu_post, omega=omega, min_n=min_n,
+        )
+        super().__init__(mesh, asm, int(nz), n_sharded)
 
 
 def dryrun(mesh, dtype=jnp.float32):
@@ -343,5 +400,24 @@ def dryrun(mesh, dtype=jnp.float32):
     x, k, rn = sgmg.solve(rho, b, rtol=1e-6, maxiter=100)
     x.block_until_ready()
     assert np.isfinite(np.asarray(x)).all()
-    return {"ndof": model.ndof, "iters": int(k), "resnorm": float(rn),
-            "n_sharded_levels": sgmg.S, "levels": sgmg.asm.sizes}
+    out = {"ndof": model.ndof, "iters": int(k), "resnorm": float(rn),
+           "n_sharded_levels": sgmg.S, "levels": sgmg.asm.sizes}
+
+    # 3D: one z-sharded hex8 solve on a tiny grid
+    n = 9
+    creator3 = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                  element_type="block")
+    conn3, X3, fixed3, force3 = creator3.create_linear_elasticity_problem()
+    model3 = fem.LinearElasticity("hex8", X3, conn3, fixed3, None, force3,
+                                  p=0.0, dtype=dtype)
+    L = [float(X3[:, k_].max()) for k_ in range(3)]
+    s3 = ShardedGMG3D(mesh, n, n, n, *L, "elasticity", dtype=dtype)
+    rhs3 = jnp.asarray(model3.compute_rhs(), dtype)
+    b3 = interleave_to_planar(rhs3, 3).reshape(3, n, n, n)
+    x3, k3, rn3 = s3.solve(jnp.ones(model3.nnodes, dtype), b3, rtol=1e-6,
+                           maxiter=100)
+    x3.block_until_ready()
+    assert np.isfinite(np.asarray(x3)).all()
+    out.update(ndof_3d=model3.ndof, iters_3d=int(k3),
+               resnorm_3d=float(rn3))
+    return out

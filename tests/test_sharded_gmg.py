@@ -85,3 +85,40 @@ def test_sharded_gmg_poisson():
     u_ref = np.asarray(model.solve(method="direct"), np.float64)
     rel = np.linalg.norm(np.asarray(x).reshape(-1) - u_ref) / np.linalg.norm(u_ref)
     assert rel < 1e-9, rel
+
+
+def test_sharded_gmg_3d_matches_single_device():
+    """z-sharded hex8 GMG vs the unsharded 3D solver."""
+    from pyfem_gpu_testflight_tpu.parallel import ShardedGMG3D
+
+    n = 9
+    dtype = jnp.float64
+    creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                 element_type="block")
+    conn, X, dof_fixed, force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity("hex8", X, conn, dof_fixed, None, force,
+                                 p=3.0, dtype=dtype)
+    L = [float(X[:, k].max()) for k in range(3)]
+    rng = np.random.RandomState(1)
+    rho = jnp.asarray(0.4 + 0.5 * rng.rand(model.nnodes), dtype)
+    rhs = jnp.asarray(model.compute_rhs(), dtype)
+    b = interleave_to_planar(rhs, 3).reshape(3, n, n, n)
+
+    mesh = make_mesh(8)
+    s3 = ShardedGMG3D(mesh, n, n, n, *L, "elasticity", p=3.0, dtype=dtype)
+    x, k, rn = s3.solve(rho, b, rtol=1e-11, maxiter=300)
+
+    asm = multigrid.GMGAssembler3D(n, n, n, *L, "elasticity", p=3.0,
+                                   dtype=dtype)
+
+    @jax.jit
+    def ref_step(rho):
+        gmg, lv0 = asm.assemble(rho)
+        bb = jnp.where(lv0.mask, 0.0, b)
+        return multigrid.pcg(lv0.matvec, gmg.apply, bb, rtol=1e-11,
+                             maxiter=300)
+
+    xr, kr, _ = ref_step(rho)
+    rel = float(jnp.linalg.norm(x - xr) / jnp.linalg.norm(xr))
+    assert rel < 1e-10, rel
+    assert abs(int(k) - int(kr)) <= 1
