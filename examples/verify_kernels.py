@@ -1,10 +1,12 @@
 """Element-kernel verification sweep: einsum path vs Pallas kernels.
 
 The analogue of the reference's examples/SciTech2023/verification/verify.py
-(pyfem einsum vs A2D C++ kernels): sweeps mesh sizes and reports max-abs
-and relative differences of the element stiffness matrices between the
-einsum reference path (ops.stiffness) and the Pallas TPU kernels
-(ops.pallas_stiffness) for poisson and plane-stress elasticity.
+(pyfem einsum vs A2D C++ kernels on hex meshes): sweeps mesh sizes and
+reports max-abs and relative differences of the element stiffness
+matrices between the einsum reference path (ops.stiffness) and the
+Pallas TPU kernels — quad4 (ops.pallas_stiffness) and hex8
+(ops.pallas_stiffness3d, the element type the reference's A2D wrapper
+actually supported, pyfem.py:2260-2264) for poisson and elasticity.
 """
 
 import argparse
@@ -72,6 +74,54 @@ def main():
             rows.append(
                 {"problem": problem, "n": n, "nelems": model.nelems,
                  "max_abs_err": diff, "rel_err": diff / scale}
+            )
+            print(json.dumps(rows[-1]))
+
+    # hex8 sweep (the reference A2D verification was hex-mesh-based)
+    from pyfem_gpu_testflight_tpu.ops import pallas_stiffness3d as pk3
+
+    for n in [s_ for s_ in args.sizes if s_ <= 32]:
+        creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                     element_type="block")
+        conn, X, dof_fixed, nodal_force = (
+            creator.create_linear_elasticity_problem()
+        )
+        model = fem.LinearElasticity(
+            "hex8", X, conn, dof_fixed, None, nodal_force, p=3.0,
+            dtype=jnp.float32,
+        )
+        rng = np.random.RandomState(0)
+        rho = jnp.asarray(0.2 + 0.8 * rng.rand(model.nnodes), jnp.float32)
+        rho_q = geometry.interp_to_quads(
+            model.N, jnp.take(rho, model.conn, axis=0)
+        )
+        cq = ramp(rho_q, model.p)
+        XeT = pk3.transpose_xe_hex8(model.Xe)
+        cqT = jnp.transpose(cq)
+        for problem in ("poisson", "elasticity"):
+            if problem == "poisson":
+                ref = stiffness.poisson_stiffness(
+                    model.Xe, model.dN, model.wq, cq
+                )
+                ker = pk3.poisson_stiffness_hex8(XeT, cqT,
+                                                 interpret=interpret)
+                ndpe = 8
+            else:
+                ref = stiffness.elasticity_stiffness(
+                    model.Xe, model.dN, model.wq, cq, model.mu, model.lam
+                )
+                ker = pk3.elasticity_stiffness_hex8(
+                    XeT, cqT, float(model.mu), float(model.lam),
+                    interpret=interpret,
+                )
+                ndpe = 24
+            ker = jnp.transpose(ker).reshape(model.nelems, ndpe, ndpe)
+            diff = float(jnp.abs(ker - ref).max())
+            scale = float(jnp.abs(ref).max())
+            rows.append(
+                {"problem": f"hex8-{problem}", "n": n,
+                 "nelems": model.nelems, "max_abs_err": diff,
+                 "rel_err": diff / scale}
             )
             print(json.dumps(rows[-1]))
 

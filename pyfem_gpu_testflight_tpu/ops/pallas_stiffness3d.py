@@ -110,53 +110,70 @@ def _quad_geometry(tab_ref, q, xe):
 
 
 def _elasticity_kernel(tab_ref, xe_ref, cq_ref, out_ref, *, mu, lam):
-    xe = _center([xe_ref[r] for r in range(24)])
-    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    """Grid = (tiles, 8 nodes): program (i, n) computes the 72 output
+    rows Ke[3n+a, :] for its element tile.
 
-    def body(q, _):
+    Keeping one node-row block per program holds all 72 accumulators in
+    registers across the quadrature ``fori_loop`` (carried, no VMEM
+    read-modify-writes — the RMW variant serialized on VMEM op issue),
+    and the inner grid axis revisits the same input blocks so Mosaic
+    fetches xe/cq once per tile.  The row node's gradient is a dynamic
+    (program-id) slice of the stacked per-node gradients.
+    """
+    n_id = pl.program_id(1)
+    xe = _center([xe_ref[r] for r in range(24)])
+
+    def body(q, acc):
         wdet, G = _quad_geometry(tab_ref, q, xe)
+        # row node's gradient selected by program id (Mosaic has no
+        # dynamic_slice on values: use an 8-way masked sum instead)
+        Gn = [
+            sum(jnp.where(n_id == n, G[n][l], 0.0) for n in range(8))
+            for l in range(3)
+        ]
         c = cq_ref[q] * wdet
         cmu = mu * c
         clam = lam * c
-        for n in range(8):
-            for m in range(n, 8):
-                gg = (G[n][0] * G[m][0] + G[n][1] * G[m][1]
-                      + G[n][2] * G[m][2])
-                for a in range(3):
-                    for b in range(3):
-                        r, s = 3 * n + a, 3 * m + b
-                        if r > s:
-                            continue
-                        term = cmu * (G[n][b] * G[m][a]) + clam * (
-                            G[n][a] * G[m][b]
-                        )
-                        if a == b:
-                            term = term + cmu * gg
-                        out_ref[24 * r + s] += term
-                        if r != s:
-                            out_ref[24 * s + r] += term
-        return 0
+        out = []
+        idx = 0
+        for a in range(3):
+            Gna = Gn[a]
+            for m in range(8):
+                gg = (Gn[0] * G[m][0] + Gn[1] * G[m][1] + Gn[2] * G[m][2])
+                for b in range(3):
+                    term = cmu * (Gn[b] * G[m][a]) + clam * (Gna * G[m][b])
+                    if a == b:
+                        term = term + cmu * gg
+                    out.append(acc[idx] + term)
+                    idx += 1
+        return out
 
-    jax.lax.fori_loop(0, 8, body, 0)
+    acc = [jnp.zeros(xe[0].shape, xe[0].dtype) for _ in range(72)]
+    acc = jax.lax.fori_loop(0, 8, body, acc)
+    for r in range(72):
+        out_ref[r] = acc[r]
 
 
 def _poisson_kernel(tab_ref, xe_ref, cq_ref, out_ref):
     xe = _center([xe_ref[r] for r in range(24)])
-    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    def body(q, _):
+    def body(q, acc):
         wdet, G = _quad_geometry(tab_ref, q, xe)
         c = cq_ref[q] * wdet
+        out = list(acc)
         for n in range(8):
             for m in range(n, 8):
                 term = c * (G[n][0] * G[m][0] + G[n][1] * G[m][1]
                             + G[n][2] * G[m][2])
-                out_ref[8 * n + m] += term
+                out[8 * n + m] = out[8 * n + m] + term
                 if n != m:
-                    out_ref[8 * m + n] += term
-        return 0
+                    out[8 * m + n] = out[8 * m + n] + term
+        return out
 
-    jax.lax.fori_loop(0, 8, body, 0)
+    acc = [jnp.zeros(xe[0].shape, xe[0].dtype) for _ in range(64)]
+    acc = jax.lax.fori_loop(0, 8, body, acc)
+    for r in range(64):
+        out_ref[r] = acc[r]
 
 
 def _pad_T(arrT, fill_geometry=False):
@@ -175,28 +192,38 @@ def _pad_T(arrT, fill_geometry=False):
     return jnp.concatenate([arrT, pad], axis=-1), n
 
 
-def _call(kernel, nrows_out, XeT, cq, interpret):
+def _call(kernel, nrows_out, XeT, cq, interpret, row_grid=1):
+    """row_grid > 1 splits the output rows over an inner grid axis
+    (blocks of nrows_out // row_grid rows); input blocks are revisited
+    across it, so Mosaic fetches them once per element tile."""
     dtype = XeT.dtype
     XeT, n = _pad_T(XeT, fill_geometry=True)
     cq, _ = _pad_T(cq)
     npad = XeT.shape[-1]
     S = _SUBLANES
     grid = npad // _TILE
+    rows_blk = nrows_out // row_grid
     tab = jnp.asarray(_hex8_table(dtype))
+    if row_grid == 1:
+        gridspec = (grid,)
+        imap = lambda i: (i * 0, i, i * 0)
+        smap = lambda i: (i * 0, i * 0)
+        omap = lambda i: (i * 0, i, i * 0)
+    else:
+        gridspec = (grid, row_grid)
+        imap = lambda i, r: (i * 0, i, i * 0)
+        smap = lambda i, r: (i * 0, i * 0)
+        omap = lambda i, r: (r, i, i * 0)
     out = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=gridspec,
         in_specs=[
-            pl.BlockSpec((8, 25), lambda i: (i * 0, i * 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((24, S, _LANES), lambda i: (i * 0, i, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, S, _LANES), lambda i: (i * 0, i, i * 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 25), smap, memory_space=pltpu.SMEM),
+            pl.BlockSpec((24, S, _LANES), imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, S, _LANES), imap, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nrows_out, S, _LANES), lambda i: (i * 0, i, i * 0),
-            memory_space=pltpu.VMEM,
+            (rows_blk, S, _LANES), omap, memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nrows_out, npad // _LANES, _LANES),
                                        dtype),
@@ -220,7 +247,7 @@ def elasticity_stiffness_hex8(XeT, cq, mu, lam, interpret=False):
     """
     kern = functools.partial(_elasticity_kernel, mu=float(mu),
                              lam=float(lam))
-    return _call(kern, 576, XeT, cq, interpret)
+    return _call(kern, 576, XeT, cq, interpret, row_grid=8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
