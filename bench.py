@@ -117,6 +117,12 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--nu", type=int, default=2,
                     help="GMG pre/post smoothing iterations")
+    ap.add_argument("--pallas-smooth", dest="pallas_smooth",
+                    action="store_true",
+                    help="fused Pallas Jacobi smoother in the V-cycle "
+                         "(2D config)")
+    ap.add_argument("--pallas-ty", dest="pallas_ty", type=int, default=32,
+                    help="row-tile size of the fused smoother kernel")
     ap.add_argument("--min_n", type=int, default=5,
                     help="coarsest-grid size floor")
     ap.add_argument("--check", action="store_true",
@@ -159,6 +165,7 @@ def main():
     asm = multigrid.GMGAssembler(
         args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype,
         nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
+        pallas_smooth=args.pallas_smooth, pallas_ty=args.pallas_ty,
     )
     log(f"gmg levels: {asm.sizes}")
     maxiter, rtol = args.maxiter, args.rtol

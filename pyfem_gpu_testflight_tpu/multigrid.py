@@ -255,28 +255,72 @@ class Level:
     """
 
     def __init__(self, op: Stencil2D, coeff, mask, shape, nd, chol=None,
-                 smoother_dtype=None):
+                 smoother_dtype=None, pallas_ty=None,
+                 pallas_interpret=False):
         self.op = op
         self.coeff = coeff
         self.mask = mask
         self.shape = tuple(int(s) for s in shape)
         self.nd = int(nd)
-        diag = op.diagonal(coeff)
-        self.inv_diag = 1.0 / jnp.where(mask | (diag == 0), 1.0, diag)
+        # fold the Dirichlet elimination into the coefficients once:
+        # matvec/smoother paths become select-free (and Pallas-ready)
+        self.coeff_e = op.bc_eliminate(coeff, mask)
+        diag = op.diagonal(self.coeff_e)
+        self.inv_diag = 1.0 / jnp.where(diag == 0, 1.0, diag)
         self.chol = chol  # dense Cholesky factor for exact coarse solves
         # optional low-precision (bf16) coefficient copy: halves the
         # smoother's HBM traffic; requires flexible PCG outside
         self.coeff_lp = (
-            coeff.astype(smoother_dtype) if smoother_dtype else None
+            self.coeff_e.astype(smoother_dtype) if smoother_dtype else None
         )
+        # fused Pallas smoother (2D only): packed kernel-layout copies
+        self.pallas = pallas_ty is not None and len(self.shape) == 2
+        self.pallas_interpret = pallas_interpret
+        if self.pallas:
+            from .ops import pallas_smooth as ps
+
+            assert smoother_dtype is None
+            self.ty = int(pallas_ty)
+            self.coeff_k = ps.pack_coeff2d(self.coeff_e, self.ty)
+            self.invd_k = ps.pack_field2d(self.inv_diag, self.ty)
 
     def matvec(self, u):
-        return self.op.bc_matvec(self.coeff, self.mask, u)
+        return self.op.matvec(self.coeff_e, u)
 
     def matvec_lp(self, u):
         """Preconditioner-internal matvec (low-precision coeff if set)."""
-        c = self.coeff_lp if self.coeff_lp is not None else self.coeff
-        return self.op.bc_matvec(c, self.mask, u)
+        c = self.coeff_lp if self.coeff_lp is not None else self.coeff_e
+        return self.op.matvec(c, u)
+
+    def presmooth_resid(self, b, niter, omega):
+        """Fused Jacobi sweeps from x0 = 0 plus the residual (Pallas).
+
+        Returns (x, r = b - A x), both (nd, ny, nx).
+        """
+        from .ops import pallas_smooth as ps
+
+        ny, nx = self.shape
+        bk = ps.pack_field2d(b, self.ty)
+        xk, rk = ps.fused_sweeps_2d(
+            self.coeff_k, self.invd_k, bk, None, niter=niter,
+            want_resid=True, omega=omega, ty=self.ty,
+            interpret=self.pallas_interpret,
+        )
+        return ps.unpack_field2d(xk, ny, nx), ps.unpack_field2d(rk, ny, nx)
+
+    def postsmooth(self, b, x0, niter, omega):
+        """Fused Jacobi sweeps from a given iterate (Pallas)."""
+        from .ops import pallas_smooth as ps
+
+        ny, nx = self.shape
+        bk = ps.pack_field2d(b, self.ty)
+        x0k = ps.pack_field2d(x0, self.ty)
+        xk = ps.fused_sweeps_2d(
+            self.coeff_k, self.invd_k, bk, x0k, niter=niter,
+            want_resid=False, omega=omega, ty=self.ty,
+            interpret=self.pallas_interpret,
+        )
+        return ps.unpack_field2d(xk, ny, nx)
 
     def dense_factor(self):
         """Dense Cholesky of the BC-constrained operator (coarse levels).
@@ -358,20 +402,28 @@ class GMG:
 
     def _cycle(self, k, b):
         lv = self.levels[k]
+        use_pallas = getattr(lv, "pallas", False) and self.smoother == "jacobi"
         if k == len(self.levels) - 1:
             if lv.chol is not None:
                 x = jax.scipy.linalg.cho_solve(lv.chol, b.reshape(-1))
                 return x.reshape(b.shape)
             return self._smooth(lv, jnp.zeros_like(b), b, self.coarse_iters)
-        x = self._smooth(lv, jnp.zeros_like(b), b, self.nu_pre)
-        r = b - lv.matvec_lp(x)
-        r = jnp.where(lv.mask, 0.0, r)
+        if use_pallas:
+            # fused sweeps + residual: one pass over the coefficients
+            # (BC-eliminated operator keeps masked entries at zero)
+            x, r = lv.presmooth_resid(b, self.nu_pre, self.omega)
+        else:
+            x = self._smooth(lv, jnp.zeros_like(b), b, self.nu_pre)
+            r = b - lv.matvec_lp(x)
+            r = jnp.where(lv.mask, 0.0, r)
         coarse = self.levels[k + 1]
         bc = self.restrict_fn(r, coarse.shape)
         bc = jnp.where(coarse.mask, 0.0, bc)
         xc = self._cycle(k + 1, bc)
         corr = self.prolong_fn(xc, lv.shape)
         x = x + jnp.where(lv.mask, 0.0, corr)
+        if use_pallas:
+            return lv.postsmooth(b, x, self.nu_post, self.omega)
         return self._smooth(lv, x, b, self.nu_post)
 
     def apply(self, r):
@@ -426,7 +478,8 @@ class GMGAssembler:
                  p=0.0, dtype=jnp.float32, nu_pre=2, nu_post=2, omega=0.7,
                  min_n=5, fine_mask=None, coarse_dense=True,
                  elem_path="uniform", smoother_dtype=None,
-                 smoother="jacobi", cheb_lam=2.2):
+                 smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
+                 pallas_ty=32):
         """fine_mask: optional (nd, ny, nx) bool Dirichlet mask; coarse
         masks are derived by injection (default: clamp the x=0 column,
         matching ProblemCreator's problem factories).
@@ -453,6 +506,8 @@ class GMGAssembler:
         self.elem_path = elem_path
         self.smoother_dtype = smoother_dtype
         self.smoother, self.cheb_lam = smoother, cheb_lam
+        self.pallas_smooth = bool(pallas_smooth)
+        self.pallas_ty = int(pallas_ty)
         nd = 2 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -584,10 +639,14 @@ class GMGAssembler:
         ny, nx = self.static_levels[0][4]
         rho_grid = jnp.asarray(rho, self.dtype).reshape(ny, nx)
         levels = []
+        pal_ty = self.pallas_ty if self.pallas_smooth else None
+        pal_interp = jax.default_backend() == "cpu"
         for (op, Xe, conn32, mask, shape, Kq) in self.static_levels:
             coeff = self._level_coeff(op, Xe, conn32, Kq, rho_grid)
             levels.append(Level(op, coeff, mask, shape, self.nd,
-                                smoother_dtype=self.smoother_dtype))
+                                smoother_dtype=self.smoother_dtype,
+                                pallas_ty=pal_ty,
+                                pallas_interpret=pal_interp))
             rho_grid = _restrict_nodal(rho_grid)
         if self.coarse_dense and (
             int(np.prod(levels[-1].shape)) * self.nd <= 4096

@@ -1,0 +1,313 @@
+"""Fused Pallas Jacobi-sweep kernels for the GMG V-cycle (2D).
+
+The XLA V-cycle pays one full read of the 36 stencil coefficient
+planes per smoother matvec: at 1M dof the fine level alone moves
+~5 x 76 MB of coefficients per cycle (2 pre-sweeps, the residual, 2
+post-sweeps).  This kernel performs all sweeps of one smoothing call
+*plus the residual* in a single pass over the coefficients: the grid is
+tiled by row blocks, each program DMAs a halo window of the coefficient
+planes and fields into VMEM (double-buffered across tiles), and runs
+the damped-Jacobi recurrence
+
+    x <- x + omega * invD * (b - A x)
+
+``niter`` times with ghost-zone redundant compute (each sweep's result
+is valid one row further in than its input; an 8-row halo covers up to
+~6 sweeps).  Requires BC-*eliminated* coefficients
+(``Stencil2D.bc_eliminate``) so the matvec is select-free; fields must
+be zero at constrained dofs (the V-cycle invariant).
+
+Data layout ("packed"): coefficients (nd*nd*9, 8 + ny_pad + 8, nxp)
+and fields (nd, 8 + ny_pad + 8, nxp) with logical (iy, ix) at physical
+(iy + 8, ix + 1); ny_pad = ceil(ny/ty)*ty, nxp = 128-multiple >= nx+2.
+Zero padding everywhere outside the logical region makes boundary
+handling implicit (zero coefficients and zero inv-diagonal).
+
+Replaces the role of the reference's pyamg relaxation sweeps
+(pyfem.py:2392-2400) at TPU memory-bandwidth limits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "pack_coeff2d",
+    "pack_field2d",
+    "unpack_field2d",
+    "fused_sweeps_2d",
+]
+
+_PADY = 8  # top halo rows (also DMA row-alignment unit)
+
+
+def _geom(ny, nx, ty):
+    ny_pad = ((ny + ty - 1) // ty) * ty
+    nxp = ((nx + 2 + 127) // 128) * 128
+    return ny_pad, nxp
+
+
+def pack_coeff2d(coeff, ty=32):
+    """(nd, nd, 3, 3, ny, nx) BC-eliminated planes -> packed kernel layout."""
+    nd = coeff.shape[0]
+    ny, nx = coeff.shape[-2:]
+    ny_pad, nxp = _geom(ny, nx, ty)
+    out = jnp.zeros((nd * nd * 9, ny_pad + 2 * _PADY, nxp), coeff.dtype)
+    return out.at[:, _PADY : _PADY + ny, 1 : 1 + nx].set(
+        coeff.reshape(nd * nd * 9, ny, nx)
+    )
+
+
+def pack_field2d(u, ty=32):
+    """(nd, ny, nx) -> (nd, ny_pad + 16, nxp) zero-padded field."""
+    nd, ny, nx = u.shape
+    ny_pad, nxp = _geom(ny, nx, ty)
+    out = jnp.zeros((nd, ny_pad + 2 * _PADY, nxp), u.dtype)
+    return out.at[:, _PADY : _PADY + ny, 1 : 1 + nx].set(u)
+
+
+def unpack_field2d(uk, ny, nx):
+    """Kernel output (nd, ny_pad, nxp) -> (nd, ny, nx)."""
+    return uk[:, :ny, 1 : 1 + nx]
+
+
+def _kernel(*refs, nd, TY, W, nxp, niter, x0_zero, b_zero, want_resid,
+            neg_resid, omega, n_tiles):
+    # refs: [c, d, (b), (x)] inputs, [x_out?, r_out?] outputs,
+    #       [c_s, d_s, (b_s), (x_s), xw, sems] scratch
+    idx = 0
+    cref = refs[idx]; idx += 1
+    dref = refs[idx]; idx += 1
+    bref = None
+    if not b_zero:
+        bref = refs[idx]; idx += 1
+    xref = None
+    if not x0_zero:
+        xref = refs[idx]; idx += 1
+    xout = None
+    if niter > 0:
+        xout = refs[idx]; idx += 1
+    rout = None
+    if want_resid:
+        rout = refs[idx]; idx += 1
+    c_s = refs[idx]; idx += 1
+    d_s = refs[idx]; idx += 1
+    b_s = None
+    if not b_zero:
+        b_s = refs[idx]; idx += 1
+    x_s = None
+    if not x0_zero:
+        x_s = refs[idx]; idx += 1
+    xw = refs[idx]; idx += 1
+    sems = refs[idx]; idx += 1
+
+    i = pl.program_id(0)
+
+    def copies(slot, t):
+        out = [
+            pltpu.make_async_copy(
+                cref.at[:, pl.ds(t * TY, W), :], c_s.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                dref.at[:, pl.ds(t * TY, W), :], d_s.at[slot],
+                sems.at[slot, 1],
+            ),
+        ]
+        if b_s is not None:
+            out.append(
+                pltpu.make_async_copy(
+                    bref.at[:, pl.ds(t * TY, W), :], b_s.at[slot],
+                    sems.at[slot, 2],
+                )
+            )
+        if x_s is not None:
+            out.append(
+                pltpu.make_async_copy(
+                    xref.at[:, pl.ds(t * TY, W), :], x_s.at[slot],
+                    sems.at[slot, 3],
+                )
+            )
+        return out
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        for cp in copies((i + 1) % 2, i + 1):
+            cp.start()
+
+    slot = i % 2
+    for cp in copies(slot, i):
+        cp.wait()
+
+    WI, XI = W - 2, nxp - 2  # interior compute extents
+
+    def matvec(xbuf):
+        """A x on interior rows [1, W-1), cols [1, nxp-1)."""
+        accs = []
+        for c in range(nd):
+            acc = None
+            for c2 in range(nd):
+                for dy in range(3):
+                    for dx in range(3):
+                        k = (c * nd + c2) * 9 + dy * 3 + dx
+                        t = c_s[slot, k, 1 : 1 + WI, 1 : 1 + XI] * xbuf[
+                            c2, dy : dy + WI, dx : dx + XI
+                        ]
+                        acc = t if acc is None else acc + t
+            accs.append(acc)
+        return accs
+
+    def bslice(c):
+        if b_s is None:
+            return None
+        return b_s[slot, c, 1 : 1 + WI, 1 : 1 + XI]
+
+    sweeps = niter
+    if x0_zero:
+        xw[:] = jnp.zeros(xw.shape, xw.dtype)
+        if niter > 0:
+            # first sweep from x = 0: pure elementwise, no matvec
+            for c in range(nd):
+                xw[c, 1 : 1 + WI, 1 : 1 + XI] = (
+                    omega
+                    * d_s[slot, c, 1 : 1 + WI, 1 : 1 + XI]
+                    * bslice(c)
+                )
+        sweeps = niter - 1
+    else:
+        xw[:] = x_s[slot]
+
+    for _ in range(max(sweeps, 0)):
+        accs = matvec(xw)
+        upds = []
+        for c in range(nd):
+            r = (bslice(c) - accs[c]) if b_s is not None else -accs[c]
+            upds.append(
+                omega * d_s[slot, c, 1 : 1 + WI, 1 : 1 + XI] * r
+            )
+        for c in range(nd):
+            xw[c, 1 : 1 + WI, 1 : 1 + XI] = (
+                xw[c, 1 : 1 + WI, 1 : 1 + XI] + upds[c]
+            )
+
+    if xout is not None:
+        for c in range(nd):
+            xout[c] = xw[c, _PADY : _PADY + TY, :]
+    if rout is not None:
+        accs = matvec(xw)
+        for c in range(nd):
+            # accs rows [1, W-1) -> output rows [PADY, PADY+TY) are
+            # acc rows [PADY-1, PADY-1+TY); interior cols [1, nxp-1)
+            a = accs[c][_PADY - 1 : _PADY - 1 + TY, :]
+            if b_s is not None:
+                bv = b_s[slot, c, _PADY : _PADY + TY, 1 : 1 + XI]
+                v = (a - bv) if neg_resid else (bv - a)
+            else:
+                v = a if neg_resid else -a
+            rout[c] = jnp.zeros((TY, nxp), v.dtype)
+            rout[c, :, 1 : 1 + XI] = v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "niter", "want_resid", "neg_resid", "omega", "ty", "interpret",
+    ),
+)
+def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
+                    want_resid=False, neg_resid=False, omega=0.7, ty=32,
+                    interpret=False):
+    """Fused damped-Jacobi sweeps (+ optional residual) on packed data.
+
+    Args:
+        coeff_k: packed BC-eliminated coefficients (pack_coeff2d).
+        invd_k: packed inverse diagonal (pack_field2d of 1/diag, zero
+            in the padding).
+        b_k: packed rhs, or None for b = 0.
+        x_k: packed initial iterate, or None for x0 = 0.
+        niter: number of Jacobi sweeps (0 = matvec/residual only).
+        want_resid: also return sign*(b - A x_final).
+        neg_resid: flip the residual sign (A x - b); with b=None and
+            niter=0 this makes the call a plain matvec of x_k.
+        omega: damping factor (static, folded into the kernel).
+
+    Returns:
+        (x_out?, r_out?) as (nd, ny_pad, nxp) arrays in packed column
+        layout (use unpack_field2d); present per niter/want_resid.
+    """
+    nk, rows, nxp = coeff_k.shape
+    nd = invd_k.shape[0]
+    assert nk == nd * nd * 9
+    ny_pad = rows - 2 * _PADY
+    n_tiles = ny_pad // ty
+    W = ty + 2 * _PADY
+    x0_zero = x_k is None
+    b_zero = b_k is None
+    assert not (x0_zero and niter == 0)
+    assert not (b_zero and x0_zero)
+
+    inputs = [coeff_k, invd_k]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    if not b_zero:
+        inputs.append(b_k)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if not x0_zero:
+        inputs.append(x_k)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+
+    out_shape, out_specs = [], []
+    fld = jax.ShapeDtypeStruct((nd, ny_pad, nxp), coeff_k.dtype)
+    blk = pl.BlockSpec(
+        (nd, ty, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    if niter > 0:
+        out_shape.append(fld)
+        out_specs.append(blk)
+    if want_resid:
+        out_shape.append(fld)
+        out_specs.append(blk)
+
+    dt = coeff_k.dtype
+    scratch = [
+        pltpu.VMEM((2, nk, W, nxp), dt),
+        pltpu.VMEM((2, nd, W, nxp), dt),
+    ]
+    if not b_zero:
+        scratch.append(pltpu.VMEM((2, nd, W, nxp), dt))
+    if not x0_zero:
+        scratch.append(pltpu.VMEM((2, nd, W, nxp), dt))
+    scratch += [
+        pltpu.VMEM((nd, W, nxp), dt),
+        pltpu.SemaphoreType.DMA((2, 4)),
+    ]
+
+    kern = functools.partial(
+        _kernel, nd=nd, TY=ty, W=W, nxp=nxp, niter=niter,
+        x0_zero=x0_zero, b_zero=b_zero, want_resid=want_resid,
+        neg_resid=neg_resid, omega=float(omega), n_tiles=n_tiles,
+    )
+    # the package enables x64 globally, under which Pallas ref indexing
+    # emits i64 indices that Mosaic's memref_slice rejects (and one
+    # convert hits an infinitely recursive lowering fallback); the
+    # kernel is explicitly float32/int32, so trace it in 32-bit mode
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+            out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*inputs)
+    return out

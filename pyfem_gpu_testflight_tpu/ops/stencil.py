@@ -126,6 +126,38 @@ class Stencil2D:
         y = self.matvec(coeff, uz)
         return jnp.where(mask, u, y)
 
+    def bc_eliminate(self, coeff, mask):
+        """Fold Dirichlet elimination into the coefficients.
+
+        Returns coeff' with masked rows/columns zeroed and a unit
+        diagonal at masked dofs, so the *plain* ``matvec(coeff', u)``
+        equals ``bc_matvec(coeff, mask, u)`` exactly — the stencil
+        analogue of the reference's symmetric row+column elimination
+        (pyfem.py:780-835).  Mask-free matvecs keep the smoother
+        kernels (XLA and Pallas) free of select ops.
+        """
+        nd, ny, nx = self.nd, self.ny, self.nx
+        mp = jnp.pad(mask, ((0, 0), (1, 1), (1, 1)))
+        # colm[cb, dy, dx, iy, ix] = mask[cb, iy+dy-1, ix+dx-1]
+        colm = jnp.stack(
+            [
+                jnp.stack(
+                    [mp[:, dy : dy + ny, dx : dx + nx] for dx in range(3)],
+                    axis=1,
+                )
+                for dy in range(3)
+            ],
+            axis=1,
+        )  # (nd, 3, 3, ny, nx)
+        rowm = mask[:, None, None, None]  # (nd, 1, 1, 1, ny, nx) rows
+        ce = jnp.where(rowm | colm[None], 0.0, coeff)
+        one = jnp.ones((), coeff.dtype)
+        for c in range(nd):
+            ce = ce.at[c, c, 1, 1].set(
+                jnp.where(mask[c], one, ce[c, c, 1, 1])
+            )
+        return ce
+
     def diagonal(self, coeff):
         return jnp.stack([coeff[c, c, 1, 1] for c in range(self.nd)])
 
@@ -212,6 +244,39 @@ class Stencil3D:
         uz = jnp.where(mask, 0.0, u)
         y = self.matvec(coeff, uz)
         return jnp.where(mask, u, y)
+
+    def bc_eliminate(self, coeff, mask):
+        """3D analogue of :meth:`Stencil2D.bc_eliminate`."""
+        nd, nz, ny, nx = self.nd, self.nz, self.ny, self.nx
+        mp = jnp.pad(mask, ((0, 0), (1, 1), (1, 1), (1, 1)))
+        colm = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                mp[:, dz : dz + nz, dy : dy + ny,
+                                   dx : dx + nx]
+                                for dx in range(3)
+                            ],
+                            axis=1,
+                        )
+                        for dy in range(3)
+                    ],
+                    axis=1,
+                )
+                for dz in range(3)
+            ],
+            axis=1,
+        )  # (nd, 3, 3, 3, nz, ny, nx)
+        rowm = mask[:, None, None, None, None]
+        ce = jnp.where(rowm | colm[None], 0.0, coeff)
+        one = jnp.ones((), coeff.dtype)
+        for c in range(nd):
+            ce = ce.at[c, c, 1, 1, 1].set(
+                jnp.where(mask[c], one, ce[c, c, 1, 1, 1])
+            )
+        return ce
 
     def diagonal(self, coeff):
         return jnp.stack([coeff[c, c, 1, 1, 1] for c in range(self.nd)])

@@ -1,0 +1,119 @@
+"""Fused Pallas Jacobi-sweep kernels (interpret mode on CPU).
+
+Gates:
+* ``Stencil2D.bc_eliminate``: plain matvec on eliminated coefficients
+  equals ``bc_matvec`` on the raw ones.
+* fused sweeps (+residual) match the XLA smoother sequence.
+* GMG-PCG with the Pallas smoother reproduces the XLA-smoother solve
+  (same iteration count, f32-roundoff solution difference).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyfem_gpu_testflight_tpu import multigrid
+from pyfem_gpu_testflight_tpu.ops import pallas_smooth as ps
+
+
+@pytest.fixture(scope="module")
+def level():
+    nx, ny = 33, 21
+    asm = multigrid.GMGAssembler(nx, ny, 2.0, 1.0, "elasticity", p=3.0,
+                                 dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    rho = jnp.asarray(rng.uniform(0.2, 1.0, ny * nx), jnp.float32)
+    _, lv0 = asm.assemble(rho)
+    return lv0, (ny, nx), rng
+
+
+def test_bc_eliminate_matches_bc_matvec(level):
+    lv0, (ny, nx), rng = level
+    u = jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32)
+    y1 = lv0.op.bc_matvec(lv0.coeff, lv0.mask, u)
+    y2 = lv0.op.matvec(lv0.coeff_e, u)
+    assert float(jnp.abs(y1 - y2).max()) < 1e-6
+
+
+def test_bc_eliminate_3d():
+    from pyfem_gpu_testflight_tpu.ops.stencil import Stencil3D
+
+    n = 7
+    op = Stencil3D(n, n, n, 3)
+    rng = np.random.default_rng(3)
+    Ke = jnp.asarray(
+        rng.standard_normal(((n - 1) ** 3, 24, 24)), jnp.float32
+    )
+    coeff = op.assemble(Ke)
+    mask = jnp.asarray(rng.uniform(size=(3, n, n, n)) < 0.2)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    y1 = op.bc_matvec(coeff, mask, u)
+    y2 = op.matvec(op.bc_eliminate(coeff, mask), u)
+    assert float(jnp.abs(y1 - y2).max()) < 1e-5
+
+
+def _xla_smooth(lv0, b, x, nit, omega=0.7):
+    for _ in range(nit):
+        r = b - lv0.matvec(x)
+        x = x + omega * lv0.inv_diag * jnp.where(lv0.mask, 0.0, r)
+    return x
+
+
+@pytest.mark.parametrize("ty", [8, 32])
+def test_fused_sweeps_match_xla(level, ty):
+    lv0, (ny, nx), rng = level
+    b = jnp.where(
+        lv0.mask, 0.0,
+        jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32),
+    )
+    ck = ps.pack_coeff2d(lv0.coeff_e, ty)
+    dk = ps.pack_field2d(lv0.inv_diag, ty)
+    bk = ps.pack_field2d(b, ty)
+
+    x_ref = _xla_smooth(lv0, b, jnp.zeros_like(b), 2)
+    r_ref = b - lv0.matvec(x_ref)
+    xk, rk = ps.fused_sweeps_2d(ck, dk, bk, None, niter=2, want_resid=True,
+                                omega=0.7, ty=ty, interpret=True)
+    assert float(jnp.abs(ps.unpack_field2d(xk, ny, nx) - x_ref).max()) < 1e-5
+    assert float(jnp.abs(ps.unpack_field2d(rk, ny, nx) - r_ref).max()) < 1e-5
+
+    # post-smooth from a given iterate
+    x0 = jnp.where(
+        lv0.mask, 0.0,
+        jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32),
+    )
+    x_ref2 = _xla_smooth(lv0, b, x0, 2)
+    xk2 = ps.fused_sweeps_2d(ck, dk, bk, ps.pack_field2d(x0, ty), niter=2,
+                             want_resid=False, omega=0.7, ty=ty,
+                             interpret=True)
+    assert float(jnp.abs(ps.unpack_field2d(xk2, ny, nx) - x_ref2).max()) < 1e-5
+
+    # matvec-only variant: niter=0, b=0, negated residual = A x
+    yk = ps.fused_sweeps_2d(ck, dk, None, ps.pack_field2d(x0, ty), niter=0,
+                            want_resid=True, neg_resid=True, omega=0.7,
+                            ty=ty, interpret=True)
+    y_ref = lv0.matvec(x0)
+    assert float(jnp.abs(ps.unpack_field2d(yk, ny, nx) - y_ref).max()) < 1e-4
+
+
+def test_gmg_pcg_with_pallas_smoother():
+    nx, ny = 65, 33
+    rng = np.random.default_rng(1)
+    rho = jnp.asarray(rng.uniform(0.3, 1.0, ny * nx), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32)
+    sols = {}
+    for pal in (False, True):
+        asm = multigrid.GMGAssembler(nx, ny, 2.0, 1.0, "elasticity", p=3.0,
+                                     dtype=jnp.float32, pallas_smooth=pal)
+        gmg, lv0 = asm.assemble(rho)
+        bb = jnp.where(lv0.mask, 0.0, b)
+        x, k, rn = multigrid.pcg(lv0.matvec, gmg.apply, bb, rtol=1e-7,
+                                 maxiter=100)
+        sols[pal] = (np.asarray(x), int(k))
+    rel = (
+        np.abs(sols[True][0] - sols[False][0]).max()
+        / np.abs(sols[False][0]).max()
+    )
+    assert sols[True][1] <= sols[False][1] + 2
+    assert rel < 1e-4
