@@ -182,7 +182,13 @@ def main():
     # assembled in f32 and cast to f64 once per solve
     def make_accuracy_step():
         rtol64 = 1e-11 if args.rtol == 1e-6 else args.rtol
-        st0 = asm.static_levels[0][0]
+        # the accuracy preconditioner casts unpacked f32 coefficients to
+        # f64, so it needs the XLA assembly (no packed pallas levels)
+        asm32 = asm if not args.pallas_smooth else multigrid.GMGAssembler(
+            args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype,
+            nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
+        )
+        st0 = asm32.static_levels[0][0]
         asm64 = multigrid.GMGAssembler(
             args.nx, args.ny, Lx, Ly, "elasticity", p=0.0,
             dtype=jnp.float64,
@@ -200,7 +206,7 @@ def main():
 
         def solve64(coeff64, rho, rhs, chain):
             rho = rho + 0.0 * chain[0].astype(rho.dtype)
-            gmg32, lv0 = asm.assemble(rho)  # f32-assembled hierarchy
+            gmg32, lv0 = asm32.assemble(rho)  # f32-assembled hierarchy
             # cast the hierarchy to f64 once, outside the CG loop: mixing
             # f32/f64 casts inside the while_loop faulted the TPU runtime
             levels64 = [
@@ -210,8 +216,8 @@ def main():
                 for l in gmg32.levels
             ]
             gmg = multigrid.GMG(
-                levels64, nu_pre=asm.nu_pre, nu_post=asm.nu_post,
-                omega=asm.omega,
+                levels64, nu_pre=asm32.nu_pre, nu_post=asm32.nu_post,
+                omega=asm32.omega,
             )
             mask = lv0.mask
             matvec = lambda u: st0.bc_matvec(coeff64, mask, u)

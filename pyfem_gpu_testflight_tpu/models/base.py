@@ -267,6 +267,11 @@ class FEModel:
             shape = self._gmg_shape
             nd = self.ndof_per_node
 
+            # nonzero fixed values need the raw (uneliminated) operator
+            # for the rhs lift; the packed Pallas assembly keeps only the
+            # eliminated form, so it requires homogeneous Dirichlet data
+            has_vals = bool(np.any(np.asarray(self.bc.values)))
+
             def step(rho_n, rhs_v, vals_v, rtol_v, maxiter):
                 gmg, lv0 = self._gmg_asm.assemble(rho_n)
                 rhs_g = interleave_to_planar(rhs_v, nd).reshape(
@@ -275,10 +280,18 @@ class FEModel:
                 vals_g = interleave_to_planar(vals_v, nd).reshape(
                     (nd,) + shape
                 )
-                lift = lv0.op.matvec(
-                    lv0.coeff, jnp.where(lv0.mask, vals_g, 0.0)
-                )
-                b = jnp.where(lv0.mask, vals_g, rhs_g - lift)
+                if has_vals:
+                    assert lv0.coeff is not None, (
+                        "nonzero Dirichlet values need the XLA assembly "
+                        "path (pallas_smooth packed levels are "
+                        "eliminated-only)"
+                    )
+                    lift = lv0.op.matvec(
+                        lv0.coeff, jnp.where(lv0.mask, vals_g, 0.0)
+                    )
+                    b = jnp.where(lv0.mask, vals_g, rhs_g - lift)
+                else:
+                    b = jnp.where(lv0.mask, vals_g, rhs_g)
                 x0 = jnp.where(lv0.mask, vals_g, 0.0)
                 x, k, rn = multigrid.pcg(
                     lv0.matvec, gmg.apply, b, rtol=rtol_v,

@@ -284,11 +284,53 @@ class Level:
             self.coeff_k = ps.pack_coeff2d(self.coeff_e, self.ty)
             self.invd_k = ps.pack_field2d(self.inv_diag, self.ty)
 
+    @classmethod
+    def from_packed(cls, op, coeff_k, invd_k, mask, shape, nd, ty,
+                    interpret=False):
+        """Level straight from packed kernel-layout data.
+
+        Built by the fused Pallas assembly (``ops.pallas_assemble``); no
+        unpacked coefficient planes exist, so matvec also runs through
+        the Pallas kernel (niter=0 residual variant).
+        """
+        from .ops import pallas_smooth as ps
+
+        lv = cls.__new__(cls)
+        lv.op = op
+        lv.coeff = None
+        lv.coeff_e = None
+        lv.coeff_lp = None
+        lv.mask = mask
+        lv.shape = tuple(int(s) for s in shape)
+        lv.nd = int(nd)
+        lv.chol = None
+        lv.pallas = True
+        lv.pallas_interpret = interpret
+        lv.ty = int(ty)
+        lv.coeff_k = coeff_k
+        lv.invd_k = invd_k
+        lv.inv_diag = ps.unpack_field2d(
+            invd_k, lv.shape[0], lv.shape[1]
+        )
+        return lv
+
     def matvec(self, u):
+        if self.coeff_e is None:
+            from .ops import pallas_smooth as ps
+
+            ny, nx = self.shape
+            yk = ps.fused_sweeps_2d(
+                self.coeff_k, self.invd_k, None, ps.pack_field2d(u, self.ty),
+                niter=0, want_resid=True, neg_resid=True, omega=1.0,
+                ty=self.ty, interpret=self.pallas_interpret,
+            )
+            return ps.unpack_field2d(yk, ny, nx)
         return self.op.matvec(self.coeff_e, u)
 
     def matvec_lp(self, u):
         """Preconditioner-internal matvec (low-precision coeff if set)."""
+        if self.coeff_e is None:
+            return self.matvec(u)
         c = self.coeff_lp if self.coeff_lp is not None else self.coeff_e
         return self.op.matvec(c, u)
 
@@ -479,7 +521,7 @@ class GMGAssembler:
                  min_n=5, fine_mask=None, coarse_dense=True,
                  elem_path="uniform", smoother_dtype=None,
                  smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
-                 pallas_ty=32):
+                 pallas_ty=32, pallas_asm_min=8192):
         """fine_mask: optional (nd, ny, nx) bool Dirichlet mask; coarse
         masks are derived by injection (default: clamp the x=0 column,
         matching ProblemCreator's problem factories).
@@ -508,6 +550,7 @@ class GMGAssembler:
         self.smoother, self.cheb_lam = smoother, cheb_lam
         self.pallas_smooth = bool(pallas_smooth)
         self.pallas_ty = int(pallas_ty)
+        self.pallas_asm_min = int(pallas_asm_min)
         nd = 2 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -523,7 +566,7 @@ class GMGAssembler:
         cur_mask = None
         if fine_mask is not None:
             cur_mask = np.asarray(fine_mask).reshape(nd, ny, nx)
-        for (lnx, lny) in self.sizes:
+        for li, (lnx, lny) in enumerate(self.sizes):
             creator = ProblemCreator(nnodes_x=lnx, nnodes_y=lny, Lx=Lx,
                                      Ly=Ly, element_type="quad")
             conn32 = jnp.asarray(creator.conn.astype(np.int32))
@@ -532,13 +575,42 @@ class GMGAssembler:
             op = Stencil2D(lnx, lny, nd)
             Xe = jnp.asarray(creator.X, dtype)[conn32]
             if cur_mask is not None:
-                mask = jnp.asarray(cur_mask)
+                mask_np = cur_mask.copy()
                 cur_mask = cur_mask[:, ::2, ::2]
             else:
-                mask = jnp.asarray(_left_edge_mask(lnx, lny, nd))
+                mask_np = _left_edge_mask(lnx, lny, nd)
+            mask = jnp.asarray(mask_np)
             Kq = self.unit_matrices(creator.X[np.asarray(creator.conn[0])])
+            # fused Pallas assembly (packed output) for the large levels
+            # when the Pallas smoother is on; the coarsest level stays
+            # on the XLA path (dense coarse factorization needs matvec
+            # columns, and tiny grids don't pay assembly cost anyway)
+            pal = None
+            if (
+                self.pallas_smooth
+                and elem_path == "uniform"
+                and li < len(self.sizes) - 1
+                and lny * lnx >= self.pallas_asm_min
+            ):
+                from .ops import pallas_assemble as pa
+                from .ops.pallas_smooth import _geom
+
+                W36 = pa.assembly_weights(
+                    op.plan, np.asarray(Kq), nd, int(self.N.shape[0])
+                )
+                ny_pad, nxp = _geom(lny, lnx, self.pallas_ty)
+                maskf = (~mask_np).astype(np.float32)
+                maskf_a = jnp.stack(
+                    [
+                        pa.pack_assembly_field(
+                            jnp.asarray(maskf[c], dtype), ny_pad, nxp
+                        )
+                        for c in range(nd)
+                    ]
+                )
+                pal = (W36, maskf_a)
             self.static_levels.append(
-                (op, Xe, conn32, mask, (lny, lnx), Kq)
+                (op, Xe, conn32, mask, (lny, lnx), Kq, pal)
             )
 
     def unit_matrices(self, Xe1, dtype=None):
@@ -641,12 +713,30 @@ class GMGAssembler:
         levels = []
         pal_ty = self.pallas_ty if self.pallas_smooth else None
         pal_interp = jax.default_backend() == "cpu"
-        for (op, Xe, conn32, mask, shape, Kq) in self.static_levels:
-            coeff = self._level_coeff(op, Xe, conn32, Kq, rho_grid)
-            levels.append(Level(op, coeff, mask, shape, self.nd,
-                                smoother_dtype=self.smoother_dtype,
-                                pallas_ty=pal_ty,
-                                pallas_interpret=pal_interp))
+        for (op, Xe, conn32, mask, shape, Kq, pal) in self.static_levels:
+            if pal is not None:
+                from .ops import pallas_assemble as pa
+                from .ops.pallas_smooth import _geom
+
+                W36, maskf_a = pal
+                lny, lnx = shape
+                ny_pad, nxp = _geom(lny, lnx, self.pallas_ty)
+                rho_a = pa.pack_assembly_field(rho_grid, ny_pad, nxp)
+                ck, dk = pa.assemble_pack_2d(
+                    rho_a, maskf_a, W36, np.asarray(self.N),
+                    nd=self.nd, p=self.p, ny=lny, nx=lnx,
+                    ty=self.pallas_ty, interpret=pal_interp,
+                )
+                levels.append(Level.from_packed(
+                    op, ck, dk, mask, shape, self.nd, self.pallas_ty,
+                    interpret=pal_interp,
+                ))
+            else:
+                coeff = self._level_coeff(op, Xe, conn32, Kq, rho_grid)
+                levels.append(Level(op, coeff, mask, shape, self.nd,
+                                    smoother_dtype=self.smoother_dtype,
+                                    pallas_ty=pal_ty,
+                                    pallas_interpret=pal_interp))
             rho_grid = _restrict_nodal(rho_grid)
         if self.coarse_dense and (
             int(np.prod(levels[-1].shape)) * self.nd <= 4096

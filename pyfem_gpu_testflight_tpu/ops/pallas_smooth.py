@@ -296,6 +296,17 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
         x0_zero=x0_zero, b_zero=b_zero, want_resid=want_resid,
         neg_resid=neg_resid, omega=float(omega), n_tiles=n_tiles,
     )
+    # scoped-VMEM budget: the double-buffered coefficient windows alone
+    # exceed the compiler's 16 MB default at wide grids; v5e has 128 MB
+    # of VMEM, so raise the cap to what the scratch actually allocates
+    esize = jnp.dtype(dt).itemsize
+    nfield = 1 + (0 if b_zero else 1) + (0 if x0_zero else 1)
+    scratch_bytes = (2 * nk + (2 * nfield + 1) * nd) * W * nxp * esize
+    out_bytes = 2 * len(out_shape) * nd * ty * nxp * esize
+    vmem_cap = min(
+        100 * 1024 * 1024,
+        int(1.3 * (scratch_bytes + out_bytes)) + (1 << 21),
+    )
     # the package enables x64 globally, under which Pallas ref indexing
     # emits i64 indices that Mosaic's memref_slice rejects (and one
     # convert hits an infinitely recursive lowering fallback); the
@@ -308,6 +319,9 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
             out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
             out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
             scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_cap
+            ),
             interpret=interpret,
         )(*inputs)
     return out

@@ -117,3 +117,47 @@ def test_gmg_pcg_with_pallas_smoother():
     )
     assert sols[True][1] <= sols[False][1] + 2
     assert rel < 1e-4
+
+
+def test_fused_assembly_matches_xla():
+    """assemble_pack_2d == pack(bc_eliminate(assemble_uniform)) (interpret).
+
+    The packed halo rows differ by design (the kernel writes its unit
+    diag-fix into padding, which the smoother never reads), so compare
+    the real rows only; then gate a full GMG-PCG solve through packed
+    levels against the XLA-assembled one.
+    """
+    from pyfem_gpu_testflight_tpu.ops.pallas_smooth import _PADY
+
+    nx, ny = 65, 33
+    rng = np.random.default_rng(0)
+    rho = jnp.asarray(rng.uniform(0.2, 1.0, ny * nx), jnp.float32)
+    asm_x = multigrid.GMGAssembler(nx, ny, 2.0, 1.0, "elasticity", p=3.0,
+                                   dtype=jnp.float32, pallas_smooth=True,
+                                   pallas_asm_min=10 ** 9)
+    asm_p = multigrid.GMGAssembler(nx, ny, 2.0, 1.0, "elasticity", p=3.0,
+                                   dtype=jnp.float32, pallas_smooth=True,
+                                   pallas_asm_min=0)
+    gx, lx = asm_x.assemble(rho)
+    gp, lp = asm_p.assemble(rho)
+    n_packed = 0
+    for a, b in zip(gx.levels, gp.levels):
+        if b.coeff_e is None:
+            n_packed += 1
+            lny, lnx = a.shape
+            d = jnp.abs(
+                a.coeff_k[:, _PADY : _PADY + lny, 1 : 1 + lnx]
+                - b.coeff_k[:, _PADY : _PADY + lny, 1 : 1 + lnx]
+            )
+            assert float(d.max()) < 1e-5
+    assert n_packed >= 2
+
+    bf = jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32)
+    bb = jnp.where(lx.mask, 0.0, bf)
+    x1, k1, _ = multigrid.pcg(lx.matvec, gx.apply, bb, rtol=1e-7,
+                              maxiter=100)
+    x2, k2, _ = multigrid.pcg(lp.matvec, gp.apply, bb, rtol=1e-7,
+                              maxiter=100)
+    rel = float(jnp.abs(x1 - x2).max() / jnp.abs(x1).max())
+    assert abs(int(k1) - int(k2)) <= 2
+    assert rel < 1e-4
