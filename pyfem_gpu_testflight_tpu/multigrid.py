@@ -401,13 +401,19 @@ class GMG:
             prolong2d_conv if dim == 2 else prolong3d_conv
         )
 
-    def _smooth(self, lv: Level, x, b, niter):
+    def _smooth(self, lv: Level, x, b, niter, x0_zero=False):
         if self.smoother == "chebyshev":
             return self._cheb_smooth(lv, x, b, niter)
         # fori_loop keeps the compiled program small (one smoother body
         # per level instead of niter unrolled 21-slice matvecs — remote
         # compile time scales with program size)
         omega = self.omega
+
+        if x0_zero and niter > 0:
+            # first sweep from x = 0 is pure elementwise — skip the
+            # matvec's full read of the coefficient planes
+            x = omega * lv.inv_diag * jnp.where(lv.mask, 0.0, b)
+            niter -= 1
 
         def body(_, x):
             r = b - lv.matvec_lp(x)
@@ -449,13 +455,15 @@ class GMG:
             if lv.chol is not None:
                 x = jax.scipy.linalg.cho_solve(lv.chol, b.reshape(-1))
                 return x.reshape(b.shape)
-            return self._smooth(lv, jnp.zeros_like(b), b, self.coarse_iters)
+            return self._smooth(lv, jnp.zeros_like(b), b,
+                                self.coarse_iters, x0_zero=True)
         if use_pallas:
             # fused sweeps + residual: one pass over the coefficients
             # (BC-eliminated operator keeps masked entries at zero)
             x, r = lv.presmooth_resid(b, self.nu_pre, self.omega)
         else:
-            x = self._smooth(lv, jnp.zeros_like(b), b, self.nu_pre)
+            x = self._smooth(lv, jnp.zeros_like(b), b, self.nu_pre,
+                             x0_zero=True)
             r = b - lv.matvec_lp(x)
             r = jnp.where(lv.mask, 0.0, r)
         coarse = self.levels[k + 1]

@@ -134,8 +134,14 @@ class _ShardedGMGBase:
                 ys.append(acc)
             return jnp.where(mask, u, jnp.stack(ys))
 
-        def smooth(l, x, b, niter):
+        def smooth(l, x, b, niter, x0_zero=False):
             mask, invd = sh_mask[l], sh_invd[l]
+
+            if x0_zero and niter > 0:
+                # first sweep from x = 0 is pure elementwise (skips one
+                # full read of the coefficient planes)
+                x = omega * invd * jnp.where(mask, 0.0, b)
+                niter -= 1
 
             def body(_, x):
                 r = b - matvec(l, x)
@@ -175,8 +181,12 @@ class _ShardedGMGBase:
         def rep_matvec(i, u):
             return rep_ops[i].bc_matvec(rep_coeff[i], rep_mask[i], u)
 
-        def rep_smooth(i, x, b, niter):
+        def rep_smooth(i, x, b, niter, x0_zero=False):
             mask, invd = rep_mask[i], rep_invd[i]
+
+            if x0_zero and niter > 0:
+                x = omega * invd * jnp.where(mask, 0.0, b)
+                niter -= 1
 
             def body(_, x):
                 r = b - rep_matvec(i, x)
@@ -190,8 +200,9 @@ class _ShardedGMGBase:
                     x = jax.scipy.linalg.cho_solve((chol, False),
                                                    b.reshape(-1))
                     return x.reshape(b.shape)
-                return rep_smooth(i, jnp.zeros_like(b), b, 24)
-            x = rep_smooth(i, jnp.zeros_like(b), b, nu_pre)
+                return rep_smooth(i, jnp.zeros_like(b), b, 24,
+                                  x0_zero=True)
+            x = rep_smooth(i, jnp.zeros_like(b), b, nu_pre, x0_zero=True)
             r = jnp.where(rep_mask[i], 0.0, b - rep_matvec(i, x))
             bc = self._restrict_full(r, rep_shapes[i + 1])
             bc = jnp.where(rep_mask[i + 1], 0.0, bc)
@@ -206,7 +217,8 @@ class _ShardedGMGBase:
         def vcycle(b):
             bs, xs = [b], []
             for l in range(S):
-                x = smooth(l, jnp.zeros_like(bs[l]), bs[l], nu_pre)
+                x = smooth(l, jnp.zeros_like(bs[l]), bs[l], nu_pre,
+                           x0_zero=True)
                 xs.append(x)
                 r = jnp.where(sh_mask[l], 0.0, bs[l] - matvec(l, x))
                 if l + 1 < S:

@@ -303,11 +303,17 @@ class AMGPreconditioner:
     def _matvec(self, params, k, u):
         return self.levels[k]["op"].matvec(params[k][0], u)
 
-    def _smooth(self, params, k, x, b, niter):
+    def _smooth(self, params, k, x, b, niter, x0_zero=False):
         if self.smoother == "chebyshev":
             return self._cheb_smooth(params, k, x, b)
         inv_diag = params[k][1]
         w = self.w_jac[k]
+
+        if x0_zero and niter > 0:
+            # first sweep from x = 0 is pure elementwise (skips one
+            # full read of the operator)
+            x = w * inv_diag * b
+            niter -= 1
 
         def body(_, x):
             return x + w * inv_diag * (b - self._matvec(params, k, x))
@@ -375,7 +381,8 @@ class AMGPreconditioner:
                     jnp.zeros_like(b),
                 )
             return jax.scipy.linalg.solve(dense, b, assume_a="pos")
-        x = self._smooth(params, k, jnp.zeros_like(b), b, self.nu)
+        x = self._smooth(params, k, jnp.zeros_like(b), b, self.nu,
+                         x0_zero=True)
         r = b - self._matvec(params, k, x)
         xc = self._cycle(params, k + 1, self._PT(params, k, r))
         x = x + self._P(params, k, xc)
