@@ -123,6 +123,8 @@ def main():
                          "(2D config)")
     ap.add_argument("--pallas-ty", dest="pallas_ty", type=int, default=32,
                     help="row-tile size of the fused smoother kernel")
+    ap.add_argument("--pallas-min", dest="pallas_min", type=int, default=0,
+                    help="smallest ny*nx level using the Pallas smoother")
     ap.add_argument("--min_n", type=int, default=5,
                     help="coarsest-grid size floor")
     ap.add_argument("--check", action="store_true",
@@ -166,6 +168,7 @@ def main():
         args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype,
         nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
         pallas_smooth=args.pallas_smooth, pallas_ty=args.pallas_ty,
+        pallas_min=args.pallas_min,
     )
     log(f"gmg levels: {asm.sizes}")
     maxiter, rtol = args.maxiter, args.rtol

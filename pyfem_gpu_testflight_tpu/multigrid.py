@@ -529,7 +529,7 @@ class GMGAssembler:
                  min_n=5, fine_mask=None, coarse_dense=True,
                  elem_path="uniform", smoother_dtype=None,
                  smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
-                 pallas_ty=32, pallas_asm_min=8192):
+                 pallas_ty=32, pallas_asm_min=8192, pallas_min=0):
         """fine_mask: optional (nd, ny, nx) bool Dirichlet mask; coarse
         masks are derived by injection (default: clamp the x=0 column,
         matching ProblemCreator's problem factories).
@@ -559,6 +559,9 @@ class GMGAssembler:
         self.pallas_smooth = bool(pallas_smooth)
         self.pallas_ty = int(pallas_ty)
         self.pallas_asm_min = int(pallas_asm_min)
+        # smallest node count (ny*nx) that still uses the fused Pallas
+        # smoother; smaller levels fall back to the XLA smoother
+        self.pallas_min = int(pallas_min)
         nd = 2 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -598,7 +601,7 @@ class GMGAssembler:
                 self.pallas_smooth
                 and elem_path == "uniform"
                 and li < len(self.sizes) - 1
-                and lny * lnx >= self.pallas_asm_min
+                and lny * lnx >= max(self.pallas_asm_min, self.pallas_min)
             ):
                 from .ops import pallas_assemble as pa
                 from .ops.pallas_smooth import _geom
@@ -719,9 +722,14 @@ class GMGAssembler:
         ny, nx = self.static_levels[0][4]
         rho_grid = jnp.asarray(rho, self.dtype).reshape(ny, nx)
         levels = []
-        pal_ty = self.pallas_ty if self.pallas_smooth else None
         pal_interp = jax.default_backend() == "cpu"
         for (op, Xe, conn32, mask, shape, Kq, pal) in self.static_levels:
+            pal_ty = (
+                self.pallas_ty
+                if self.pallas_smooth
+                and shape[0] * shape[1] >= self.pallas_min
+                else None
+            )
             if pal is not None:
                 from .ops import pallas_assemble as pa
                 from .ops.pallas_smooth import _geom

@@ -226,10 +226,12 @@ def assemble_pack_2d(rho_a, maskf_a, W36, N, *, nd, p, ny, nx, ty=32,
                 pltpu.VMEM((2, nd, _TY + 16, nxp), dt),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
+            # generous cap: Mosaic also stacks the unrolled FMA
+            # temporaries (Cq windows, per-plane accumulators)
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
                     100 * 1024 * 1024,
-                    int(1.3 * (scratch_bytes + out_bytes)) + (1 << 21),
+                    4 * (scratch_bytes + out_bytes) + (1 << 24),
                 )
             ),
             interpret=interpret,
