@@ -118,9 +118,11 @@ def main():
     ap.add_argument("--nu", type=int, default=2,
                     help="GMG pre/post smoothing iterations")
     ap.add_argument("--pallas-smooth", dest="pallas_smooth",
-                    action="store_true",
+                    action="store_true", default=True,
                     help="fused Pallas Jacobi smoother in the V-cycle "
-                         "(2D config)")
+                         "(2D config; default on)")
+    ap.add_argument("--no-pallas-smooth", dest="pallas_smooth",
+                    action="store_false")
     ap.add_argument("--pallas-ty", dest="pallas_ty", type=int, default=32,
                     help="row-tile size of the fused smoother kernel")
     ap.add_argument("--pallas-min", dest="pallas_min", type=int, default=0,

@@ -38,6 +38,10 @@ __all__ = [
     "GMGAssembler3D",
     "prolong2d",
     "restrict2d",
+    "prolong2d_il",
+    "restrict2d_il",
+    "prolong3d_il",
+    "restrict3d_il",
     "prolong3d",
     "restrict3d",
     "build_elasticity_gmg",
@@ -94,6 +98,151 @@ def restrict2d(f, coarse_shape):
     c = c.at[:, :-1, 1:].add(0.25 * e)
     c = c.at[:, 1:, 1:].add(0.25 * e)
     return c
+
+
+def _deinterleave2(a, axis):
+    """Split even/odd elements along axis (input padded to even length)."""
+    n = a.shape[axis]
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, n % 2)
+    a = jnp.pad(a, pad)
+    shape = list(a.shape)
+    shape[axis] = shape[axis] // 2
+    shape.insert(axis + 1, 2)
+    a = a.reshape(shape)
+    idx_e = [slice(None)] * a.ndim
+    idx_o = [slice(None)] * a.ndim
+    idx_e[axis + 1] = 0
+    idx_o[axis + 1] = 1
+    return a[tuple(idx_e)], a[tuple(idx_o)]
+
+
+def _interleave2(e, o, axis, out_len):
+    """Interleave e/o along axis and trim to out_len."""
+    st = jnp.stack([e, o], axis=axis + 1)
+    shape = list(e.shape)
+    shape[axis] = 2 * shape[axis]
+    out = st.reshape(shape)
+    idx = [slice(None)] * out.ndim
+    idx[axis] = slice(0, out_len)
+    return out[tuple(idx)]
+
+
+def _shift_pad(a, axis, before):
+    """Shift by one along axis, zero-filling (before=True shifts down)."""
+    pad = [(0, 0)] * a.ndim
+    idx = [slice(None)] * a.ndim
+    if before:
+        pad[axis] = (1, 0)
+        idx[axis] = slice(0, a.shape[axis])
+    else:
+        pad[axis] = (0, 1)
+        idx[axis] = slice(1, a.shape[axis] + 1)
+    return jnp.pad(a, pad)[tuple(idx)]
+
+
+def restrict2d_il(f, coarse_shape):
+    """Reshape/interleave-based restriction, identical to restrict2d.
+
+    No convolutions and no strided slice assignments: mixing either
+    with Pallas custom calls in one program was measured pathologically
+    slow (per-iteration relayouts) or faulted the TPU runtime.
+    """
+    nyc, nxc = coarse_shape
+    rows_e, rows_o = _deinterleave2(f, 1)      # even/odd rows
+    F00, F01 = _deinterleave2(rows_e[:, :nyc], 2)
+    F10, F11 = _deinterleave2(rows_o, 2)
+    F00, F01 = F00[:, :, :nxc], F01[:, :, : nxc - 1]
+    F10 = F10[:, : nyc - 1, :nxc]
+    F11 = F11[:, : nyc - 1, : nxc - 1]
+    c = F00
+    c = c + 0.5 * (
+        jnp.pad(F10, ((0, 0), (1, 0), (0, 0)))
+        + jnp.pad(F10, ((0, 0), (0, 1), (0, 0)))
+    )
+    c = c + 0.5 * (
+        jnp.pad(F01, ((0, 0), (0, 0), (1, 0)))
+        + jnp.pad(F01, ((0, 0), (0, 0), (0, 1)))
+    )
+    q = jnp.pad(F11, ((0, 0), (0, 1), (0, 1)))
+    c = c + 0.25 * (
+        q
+        + _shift_pad(q, 1, True)
+        + _shift_pad(q, 2, True)
+        + _shift_pad(_shift_pad(q, 1, True), 2, True)
+    )
+    return c
+
+
+def prolong2d_il(c, fine_shape):
+    """Reshape/interleave-based prolongation, identical to prolong2d."""
+    nyf, nxf = fine_shape
+    colavg = 0.5 * (c[:, :, :-1] + c[:, :, 1:])
+    colavg = jnp.pad(colavg, ((0, 0), (0, 0), (0, 1)))
+    ce = _interleave2(c, colavg, 2, nxf)       # even rows, full width
+    rowavg = 0.5 * (ce[:, :-1] + ce[:, 1:])
+    rowavg = jnp.pad(rowavg, ((0, 0), (0, 1), (0, 0)))
+    return _interleave2(ce, rowavg, 1, nyf)
+
+
+def restrict3d_il(f, coarse_shape):
+    """3D reshape/interleave restriction, identical to restrict3d.
+
+    Separable tent: deinterleave the three spatial axes into the eight
+    parity blocks, then accumulate each block at its 2^k shifted
+    positions with weight 2^-k — pads and adds only.
+    """
+    parts = [(f, ())]
+    for i, nc in enumerate(coarse_shape):
+        axis = 1 + i
+        new = []
+        for a, par in parts:
+            e, o = _deinterleave2(a, axis)
+            idx = [slice(None)] * e.ndim
+            idx[axis] = slice(0, nc)
+            e = e[tuple(idx)]
+            idx[axis] = slice(0, nc - 1)
+            o = o[tuple(idx)]
+            new += [(e, par + (0,)), (o, par + (1,))]
+        parts = new
+    c = None
+    for a, par in parts:
+        terms = [a]
+        for i, p in enumerate(par):
+            if not p:
+                continue
+            axis = 1 + i
+            nxt = []
+            for t in terms:
+                pb = [(0, 0)] * t.ndim
+                pa = [(0, 0)] * t.ndim
+                pb[axis] = (1, 0)
+                pa[axis] = (0, 1)
+                nxt += [jnp.pad(t, pb), jnp.pad(t, pa)]
+            terms = nxt
+        w = 2.0 ** -sum(par)
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        c = w * s if c is None else c + w * s
+    return c
+
+
+def prolong3d_il(c, fine_shape):
+    """3D reshape/interleave prolongation, identical to prolong3d."""
+    out = c
+    for i, nf in enumerate(fine_shape):
+        axis = 1 + i
+        lo = [slice(None)] * out.ndim
+        hi = [slice(None)] * out.ndim
+        lo[axis] = slice(0, out.shape[axis] - 1)
+        hi[axis] = slice(1, out.shape[axis])
+        avg = 0.5 * (out[tuple(lo)] + out[tuple(hi)])
+        pa = [(0, 0)] * out.ndim
+        pa[axis] = (0, 1)
+        avg = jnp.pad(avg, pa)
+        out = _interleave2(out, avg, axis, nf)
+    return out
 
 
 # Tent (bilinear/trilinear) kernels: restriction is a stride-2 conv,
@@ -394,12 +543,18 @@ class GMG:
         self.smoother = smoother
         self.cheb_lam = float(cheb_lam)
         dim = len(self.levels[0].shape)
-        self.restrict_fn = restrict_fn or (
-            restrict2d_conv if dim == 2 else restrict3d_conv
-        )
-        self.prolong_fn = prolong_fn or (
-            prolong2d_conv if dim == 2 else prolong3d_conv
-        )
+        # 2D default: interleave-based transfers.  Measured on v5e, the
+        # conv transfers cost the XLA V-cycle 3.44 -> 1.44 ms/iter at
+        # 1M dof, and next to Mosaic custom calls they blow up to ~29
+        # ms/iter (per-iteration relayouts); the strided
+        # slice-assignment transfers fault the runtime with Pallas in
+        # the program.
+        if dim == 2:
+            default_r, default_p = restrict2d_il, prolong2d_il
+        else:
+            default_r, default_p = restrict3d_il, prolong3d_il
+        self.restrict_fn = restrict_fn or default_r
+        self.prolong_fn = prolong_fn or default_p
 
     def _smooth(self, lv: Level, x, b, niter, x0_zero=False):
         if self.smoother == "chebyshev":
