@@ -48,6 +48,7 @@ def run_3d(args, log):
     asm = multigrid.GMGAssembler3D(
         n, n, n, Lx, Ly, Lz, "elasticity", p=0.0, dtype=dtype,
         nu_pre=args.nu, nu_post=args.nu,
+        pallas_smooth=args.pallas_smooth, pallas_min=args.pallas_min,
     )
     log(f"3d gmg levels: {asm.sizes}")
 

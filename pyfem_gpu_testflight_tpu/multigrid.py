@@ -422,8 +422,9 @@ class Level:
         self.coeff_lp = (
             self.coeff_e.astype(smoother_dtype) if smoother_dtype else None
         )
-        # fused Pallas smoother (2D only): packed kernel-layout copies
+        # fused Pallas smoother: packed kernel-layout copies
         self.pallas = pallas_ty is not None and len(self.shape) == 2
+        self.pallas3 = pallas_ty is not None and len(self.shape) == 3
         self.pallas_interpret = pallas_interpret
         if self.pallas:
             from .ops import pallas_smooth as ps
@@ -432,6 +433,12 @@ class Level:
             self.ty = int(pallas_ty)
             self.coeff_k = ps.pack_coeff2d(self.coeff_e, self.ty)
             self.invd_k = ps.pack_field2d(self.inv_diag, self.ty)
+        elif self.pallas3:
+            from .ops import pallas_smooth as ps
+
+            assert smoother_dtype is None
+            self.coeff_k = ps.pack_coeff3d(self.coeff_e)
+            self.invd_k = ps.pack_field3d(self.inv_diag)
 
     @classmethod
     def from_packed(cls, op, coeff_k, invd_k, mask, shape, nd, ty,
@@ -512,6 +519,32 @@ class Level:
             interpret=self.pallas_interpret,
         )
         return ps.unpack_field2d(xk, ny, nx)
+
+    # -- 3D fused ops (one z-tiled kernel call per sweep) -----------------
+
+    def sweep3d(self, bk, x, omega):
+        """x + omega * invD * (b - A x); bk pre-packed, x unpacked."""
+        from .ops import pallas_smooth as ps
+
+        nz, ny, nx = self.shape
+        xk = ps.pack_field3d(x, zpad=1)
+        out = ps.fused_sweep_3d(
+            self.coeff_k, self.invd_k, bk, xk, mode="sweep",
+            omega=omega, interpret=self.pallas_interpret,
+        )
+        return ps.unpack_field3d(out, nz, ny, nx)
+
+    def resid3d(self, bk, x):
+        """b - A x (zero at constrained dofs by construction)."""
+        from .ops import pallas_smooth as ps
+
+        nz, ny, nx = self.shape
+        xk = ps.pack_field3d(x, zpad=1)
+        out = ps.fused_sweep_3d(
+            self.coeff_k, None, bk, xk, mode="resid",
+            interpret=self.pallas_interpret,
+        )
+        return ps.unpack_field3d(out, nz, ny, nx)
 
     def dense_factor(self):
         """Dense Cholesky of the BC-constrained operator (coarse levels).
@@ -605,7 +638,9 @@ class GMG:
 
     def _cycle(self, k, b):
         lv = self.levels[k]
-        use_pallas = getattr(lv, "pallas", False) and self.smoother == "jacobi"
+        jac = self.smoother == "jacobi"
+        use_pallas = getattr(lv, "pallas", False) and jac
+        use_pallas3 = getattr(lv, "pallas3", False) and jac
         if k == len(self.levels) - 1:
             if lv.chol is not None:
                 x = jax.scipy.linalg.cho_solve(lv.chol, b.reshape(-1))
@@ -616,6 +651,14 @@ class GMG:
             # fused sweeps + residual: one pass over the coefficients
             # (BC-eliminated operator keeps masked entries at zero)
             x, r = lv.presmooth_resid(b, self.nu_pre, self.omega)
+        elif use_pallas3:
+            from .ops import pallas_smooth as ps
+
+            bk = ps.pack_field3d(b)
+            x = self.omega * lv.inv_diag * jnp.where(lv.mask, 0.0, b)
+            for _ in range(self.nu_pre - 1):
+                x = lv.sweep3d(bk, x, self.omega)
+            r = lv.resid3d(bk, x)
         else:
             x = self._smooth(lv, jnp.zeros_like(b), b, self.nu_pre,
                              x0_zero=True)
@@ -629,6 +672,10 @@ class GMG:
         x = x + jnp.where(lv.mask, 0.0, corr)
         if use_pallas:
             return lv.postsmooth(b, x, self.nu_post, self.omega)
+        if use_pallas3:
+            for _ in range(self.nu_post):
+                x = lv.sweep3d(bk, x, self.omega)
+            return x
         return self._smooth(lv, x, b, self.nu_post)
 
     def apply(self, r):
@@ -1025,7 +1072,8 @@ class GMGAssembler3D:
                  E=10.0, nu=0.3, p=0.0, dtype=jnp.float32, nu_pre=2,
                  nu_post=2, omega=0.6, min_n=3, coarse_dense=True,
                  elem_path="uniform", smoother_dtype=None,
-                 smoother="jacobi", cheb_lam=2.2):
+                 smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
+                 pallas_min=0):
         from .mesh import ProblemCreator
         from .elements import get_element
         from .ops import stiffness
@@ -1038,6 +1086,8 @@ class GMGAssembler3D:
         self.elem_path = elem_path
         self.smoother_dtype = smoother_dtype
         self.smoother, self.cheb_lam = smoother, cheb_lam
+        self.pallas_smooth = bool(pallas_smooth)
+        self.pallas_min = int(pallas_min)
         nd = 3 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -1104,14 +1154,23 @@ class GMGAssembler3D:
         nz, ny, nx = self.static_levels[0][4]
         rho_grid = jnp.asarray(rho, self.dtype).reshape(nz, ny, nx)
         levels = []
+        pal_interp = jax.default_backend() == "cpu"
         for (op, Xe, conn32, mask, shape, Kq) in self.static_levels:
             if self.elem_path == "uniform":
                 coeff = op.assemble_uniform(self.material_planes(rho_grid), Kq)
             else:
                 Ke = self._elem_matrices(Xe, conn32, rho_grid.reshape(-1))
                 coeff = op.assemble(Ke)
+            pal_ty = (
+                1  # flag only; 3D kernels tile z slabs, no row tiles
+                if self.pallas_smooth
+                and int(np.prod(shape)) >= self.pallas_min
+                else None
+            )
             levels.append(Level(op, coeff, mask, shape, self.nd,
-                                smoother_dtype=self.smoother_dtype))
+                                smoother_dtype=self.smoother_dtype,
+                                pallas_ty=pal_ty,
+                                pallas_interpret=pal_interp))
             rho_grid = rho_grid[0::2, 0::2, 0::2]
         if self.coarse_dense and (
             int(np.prod(levels[-1].shape)) * self.nd <= 4096

@@ -41,6 +41,10 @@ __all__ = [
     "pack_field2d",
     "unpack_field2d",
     "fused_sweeps_2d",
+    "pack_coeff3d",
+    "pack_field3d",
+    "unpack_field3d",
+    "fused_sweep_3d",
 ]
 
 _PADY = 8  # top halo rows (also DMA row-alignment unit)
@@ -321,6 +325,154 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_cap
+            ),
+            interpret=interpret,
+        )(*inputs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 3D (hex8 / 27-point) fused sweeps — z-tiled, plain BlockSpecs
+# ---------------------------------------------------------------------------
+#
+# The 3D coefficient volumes (nd*nd*27 planes) are too fat for the 2D
+# kernel's multi-sweep halo windows, but single-sweep fusion needs no
+# coefficient halo at all: a z-tile's outputs read coefficients only at
+# their own z.  The field's one-slab z halo comes from three adjacent
+# BlockSpec views of a z-padded copy (z is an untiled dim, so the
+# slabs carry no alignment constraints), and y/x halos live inside the
+# blocks as 1-padded extents.  Everything is auto-pipelined by Pallas.
+
+_TZ = 1  # z-slabs per program
+
+
+def _geom3d(ny, nx):
+    nyp = ny + 2
+    nxp = ((nx + 2 + 127) // 128) * 128
+    return nyp, nxp
+
+
+def pack_coeff3d(coeff):
+    """(nd,nd,3,3,3,nz,ny,nx) eliminated -> (nk, nz, ny+2, nxp)."""
+    nd = coeff.shape[0]
+    nz, ny, nx = coeff.shape[-3:]
+    nyp, nxp = _geom3d(ny, nx)
+    out = jnp.zeros((nd * nd * 27, nz, nyp, nxp), coeff.dtype)
+    return out.at[:, :, 1 : 1 + ny, 1 : 1 + nx].set(
+        coeff.reshape(nd * nd * 27, nz, ny, nx)
+    )
+
+
+def pack_field3d(u, zpad=0):
+    """(nd, nz, ny, nx) -> (nd, nz + 2*zpad, ny+2, nxp), zero-padded."""
+    nd, nz, ny, nx = u.shape
+    nyp, nxp = _geom3d(ny, nx)
+    out = jnp.zeros((nd, nz + 2 * zpad, nyp, nxp), u.dtype)
+    return out.at[:, zpad : zpad + nz, 1 : 1 + ny, 1 : 1 + nx].set(u)
+
+
+def unpack_field3d(uk, nz, ny, nx):
+    return uk[:, :nz, 1 : 1 + ny, 1 : 1 + nx]
+
+
+def _kernel3d(*refs, nd, nyp, nxp, mode, neg_resid, omega):
+    # refs: coeff, invd?, b?, x_top, x_mid, x_bot, out
+    idx = 0
+    cref = refs[idx]; idx += 1
+    dref = None
+    if mode == "sweep":
+        dref = refs[idx]; idx += 1
+    bref = None
+    if mode != "matvec":
+        bref = refs[idx]; idx += 1
+    x_t = refs[idx]; idx += 1
+    x_m = refs[idx]; idx += 1
+    x_b = refs[idx]; idx += 1
+    out = refs[idx]
+
+    YI, XI = nyp - 2, nxp - 2
+    xs = [x_t, x_m, x_b]
+    for c in range(nd):
+        acc = None
+        for c2 in range(nd):
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        k = ((c * nd + c2) * 27 + dz * 9 + dy * 3 + dx)
+                        t = cref[k, 0, 1 : 1 + YI, 1 : 1 + XI] * xs[dz][
+                            c2, 0, dy : dy + YI, dx : dx + XI
+                        ]
+                        acc = t if acc is None else acc + t
+        if mode == "matvec":
+            v = -acc if not neg_resid else acc
+        elif mode == "resid":
+            bv = bref[c, 0, 1 : 1 + YI, 1 : 1 + XI]
+            v = (acc - bv) if neg_resid else (bv - acc)
+        else:  # sweep: x + omega * invd * (b - A x)
+            bv = bref[c, 0, 1 : 1 + YI, 1 : 1 + XI]
+            v = x_m[c, 0, 1 : 1 + YI, 1 : 1 + XI] + omega * dref[
+                c, 0, 1 : 1 + YI, 1 : 1 + XI
+            ] * (bv - acc)
+        out[c, 0] = jnp.zeros((nyp, nxp), v.dtype)
+        out[c, 0, 1 : 1 + YI, 1 : 1 + XI] = v
+
+
+def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
+                   mode="sweep", neg_resid=False, omega=0.6,
+                   interpret=False):
+    """One fused 27-point operation per z-slab on packed 3D data.
+
+    mode: "sweep"  -> x + omega * invd * (b - A x)   (needs invd, b, x)
+          "resid"  -> +-(b - A x)                    (needs b, x)
+          "matvec" -> A x (neg_resid=True) or -A x   (needs x only)
+
+    x_k must be packed with zpad=1 (``pack_field3d(x, zpad=1)``); all
+    other operands and the result use zpad=0.  Returns the packed
+    (nd, nz, ny+2, nxp) result.
+    """
+    nk, nz, nyp, nxp = coeff_k.shape
+    nd = x_k.shape[0]
+    assert nk == nd * nd * 27
+    assert x_k.shape[1] == nz + 2
+
+    blk = lambda d0: pl.BlockSpec(
+        (d0, _TZ, nyp, nxp), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    xblk = lambda off: pl.BlockSpec(
+        (nd, _TZ, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    inputs = [coeff_k]
+    in_specs = [blk(nk)]
+    if mode == "sweep":
+        inputs.append(invd_k)
+        in_specs.append(blk(nd))
+    if mode != "matvec":
+        inputs.append(b_k)
+        in_specs.append(blk(nd))
+    inputs += [x_k, x_k, x_k]
+    in_specs += [xblk(0), xblk(1), xblk(2)]
+
+    esize = jnp.dtype(coeff_k.dtype).itemsize
+    buf_bytes = 2 * (nk + 3 * nd + 2 * nd + nd) * nyp * nxp * esize
+    kern = functools.partial(
+        _kernel3d, nd=nd, nyp=nyp, nxp=nxp, mode=mode,
+        neg_resid=neg_resid, omega=float(omega),
+    )
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(nz,),
+            in_specs=in_specs,
+            out_specs=blk(nd),
+            out_shape=jax.ShapeDtypeStruct(
+                (nd, nz, nyp, nxp), coeff_k.dtype
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    100 * 1024 * 1024, 2 * buf_bytes + (1 << 24)
+                )
             ),
             interpret=interpret,
         )(*inputs)

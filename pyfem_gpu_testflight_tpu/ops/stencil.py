@@ -81,25 +81,53 @@ class Stencil2D:
         geometry, so the element matrices are material-weighted sums of
         the per-quadrature unit matrices Kq (nquads, ndpe, ndpe).  This
         skips materializing the (nelems, ndpe, ndpe) Ke array entirely
-        (~134 MB at 1M dof): each coefficient plane is a few
-        scalar-times-plane FMAs on the (ney, nex) material planes.
+        (~134 MB at 1M dof).  Scatter-free: each coefficient plane is
+        built once as a sum of zero-padded element planes (the chain of
+        strided in-place adds the previous version used serializes into
+        hundreds of read-modify-write passes over the full buffer —
+        measured 78 ms for the 3D analogue at 0.8M dof).
 
         Args:
             Cq_grid: (nquads, ney, nex) material factor at quad points.
-            Kq: (nquads, ndpe, ndpe) unit element matrices.
+            Kq: (nquads, ndpe, ndpe) unit element matrices (concrete).
         """
         ny, nx, nd = self.ny, self.nx, self.nd
         ney, nex = ny - 1, nx - 1
-        coeff = jnp.zeros((nd, nd, 3, 3, ny, nx), dtype=Cq_grid.dtype)
+        Kqh = np.asarray(Kq)
         nq = Cq_grid.shape[0]
+        # per-plane contribution table: (ca,cb,dy,dx) -> {(ay,ax): w[q]}
+        table = {}
         for (ca, cb, dy, dx, ay, ax, r, s) in self.plan:
-            plane = Kq[0, r, s] * Cq_grid[0]
-            for q in range(1, nq):
-                plane = plane + Kq[q, r, s] * Cq_grid[q]
-            coeff = coeff.at[ca, cb, dy, dx, ay : ay + ney, ax : ax + nex].add(
-                plane
+            table.setdefault((ca, cb, dy, dx), {}).setdefault(
+                (ay, ax), np.zeros(nq)
             )
-        return coeff
+            table[(ca, cb, dy, dx)][(ay, ax)] += Kqh[:, r, s]
+        planes = []
+        zero = None
+        for ca in range(nd):
+            for cb in range(nd):
+                for dy in range(3):
+                    for dx in range(3):
+                        contribs = table.get((ca, cb, dy, dx))
+                        if not contribs:
+                            if zero is None:
+                                zero = jnp.zeros((ny, nx), Cq_grid.dtype)
+                            planes.append(zero)
+                            continue
+                        p = None
+                        for (ay, ax), w in contribs.items():
+                            t = None
+                            for q in range(nq):
+                                if w[q] == 0.0:
+                                    continue
+                                tq = float(w[q]) * Cq_grid[q]
+                                t = tq if t is None else t + tq
+                            tp = jnp.pad(
+                                t, ((ay, 1 - ay), (ax, 1 - ax))
+                            )
+                            p = tp if p is None else p + tp
+                        planes.append(p)
+        return jnp.stack(planes).reshape(nd, nd, 3, 3, ny, nx)
 
     # -- operator ---------------------------------------------------------
 
@@ -208,19 +236,55 @@ class Stencil3D:
     def assemble_uniform(self, Cq_grid, Kq):
         """Uniform-geometry assembly (see Stencil2D.assemble_uniform).
 
+        Scatter-free pad-and-sum per coefficient volume; the previous
+        576-entry strided in-place-add chain cost 78 ms at 0.8M dof.
+
         Args:
-            Cq_grid: (nquads, nez, ney, nex); Kq: (nquads, ndpe, ndpe).
+            Cq_grid: (nquads, nez, ney, nex); Kq: (nquads, ndpe, ndpe,
+            concrete).
         """
         nz, ny, nx, nd = self.nz, self.ny, self.nx, self.nd
-        nez, ney, nex = nz - 1, ny - 1, nx - 1
-        coeff = jnp.zeros((nd, nd, 3, 3, 3, nz, ny, nx), dtype=Cq_grid.dtype)
+        Kqh = np.asarray(Kq)
+        nq = Cq_grid.shape[0]
+        table = {}
         for (ca, cb, dz, dy, dx, az, ay, ax, r, s) in self.plan:
-            plane = jnp.einsum("q,qzyx->zyx", Kq[:, r, s], Cq_grid)
-            coeff = coeff.at[
-                ca, cb, dz, dy, dx,
-                az : az + nez, ay : ay + ney, ax : ax + nex,
-            ].add(plane)
-        return coeff
+            table.setdefault((ca, cb, dz, dy, dx), {}).setdefault(
+                (az, ay, ax), np.zeros(nq)
+            )
+            table[(ca, cb, dz, dy, dx)][(az, ay, ax)] += Kqh[:, r, s]
+        planes = []
+        zero = None
+        for ca in range(nd):
+            for cb in range(nd):
+                for dz in range(3):
+                    for dy in range(3):
+                        for dx in range(3):
+                            contribs = table.get((ca, cb, dz, dy, dx))
+                            if not contribs:
+                                if zero is None:
+                                    zero = jnp.zeros(
+                                        (nz, ny, nx), Cq_grid.dtype
+                                    )
+                                planes.append(zero)
+                                continue
+                            p = None
+                            for (az, ay, ax), w in contribs.items():
+                                t = None
+                                for q in range(nq):
+                                    if w[q] == 0.0:
+                                        continue
+                                    tq = float(w[q]) * Cq_grid[q]
+                                    t = tq if t is None else t + tq
+                                tp = jnp.pad(
+                                    t,
+                                    ((az, 1 - az), (ay, 1 - ay),
+                                     (ax, 1 - ax)),
+                                )
+                                p = tp if p is None else p + tp
+                            planes.append(p)
+        return jnp.stack(planes).reshape(
+            nd, nd, 3, 3, 3, nz, ny, nx
+        )
 
     def matvec(self, coeff, u):
         """u: (nd, nz, ny, nx) -> y: (nd, nz, ny, nx)."""

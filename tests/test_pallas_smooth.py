@@ -162,3 +162,28 @@ def test_fused_assembly_matches_xla():
     assert abs(int(k1) - int(k2)) <= 2
     # two rtol=1e-7-converged f32 solves via different fp paths
     assert rel < 5e-4
+
+
+def test_gmg3d_pcg_with_pallas_smoother():
+    """3D fused z-tiled sweeps reproduce the XLA-smoother solve."""
+    n = 9
+    rng = np.random.default_rng(0)
+    rho = jnp.asarray(rng.uniform(0.3, 1.0, n ** 3), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    sols = {}
+    for pal in (False, True):
+        asm = multigrid.GMGAssembler3D(n, n, n, 1.0, 1.0, 1.0,
+                                       "elasticity", p=3.0,
+                                       dtype=jnp.float32,
+                                       pallas_smooth=pal)
+        gmg, lv0 = asm.assemble(rho)
+        bb = jnp.where(lv0.mask, 0.0, b)
+        x, k, _ = multigrid.pcg(lv0.matvec, gmg.apply, bb, rtol=1e-7,
+                                maxiter=100)
+        sols[pal] = (np.asarray(x), int(k))
+    rel = (
+        np.abs(sols[True][0] - sols[False][0]).max()
+        / np.abs(sols[False][0]).max()
+    )
+    assert abs(sols[True][1] - sols[False][1]) <= 2
+    assert rel < 5e-4
