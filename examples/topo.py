@@ -9,6 +9,7 @@ and a final result.vtk.
 
 import argparse
 
+import jax
 import numpy as np
 
 import pyfem_gpu_testflight_tpu as fem
@@ -64,10 +65,13 @@ def main():
         assert args.element_type in ("quad", "block"), (
             "gmg solver requires structured quad/hex grids"
         )
+        # fused Pallas V-cycle kernels on real accelerators (interpret
+        # mode on CPU is for tests, not for running examples)
+        pal = jax.default_backend() != "cpu"
         if args.element_type == "quad":
-            model.attach_structured_grid(128, 64)
+            model.attach_structured_grid(128, 64, pallas_smooth=pal)
         else:
-            model.attach_structured_grid(64, 32, 32)
+            model.attach_structured_grid(64, 32, 32, pallas_smooth=pal)
 
     prob = TopoProblem(model, filtr, fixed_volume=args.fixed_volume,
                        solver=args.solver)

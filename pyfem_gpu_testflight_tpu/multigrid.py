@@ -481,6 +481,16 @@ class Level:
                 ty=self.ty, interpret=self.pallas_interpret,
             )
             return ps.unpack_field2d(yk, ny, nx)
+        if self.pallas3:
+            from .ops import pallas_smooth as ps
+
+            nz, ny, nx = self.shape
+            out = ps.fused_sweep_3d(
+                self.coeff_k, None, None, ps.pack_field3d(u, zpad=1),
+                mode="matvec", neg_resid=True,
+                interpret=self.pallas_interpret,
+            )
+            return ps.unpack_field3d(out, nz, ny, nx)
         return self.op.matvec(self.coeff_e, u)
 
     def matvec_lp(self, u):
@@ -554,8 +564,12 @@ class Level:
         """
         n = int(np.prod(self.shape)) * self.nd
         eye = jnp.eye(n, dtype=self.coeff.dtype)
+        # always the XLA matvec here: vmapping a Pallas call is not
+        # worth exercising for a once-per-solve tiny factorization
         cols = jax.vmap(
-            lambda e: self.matvec(e.reshape((self.nd,) + self.shape)).reshape(-1)
+            lambda e: self.op.matvec(
+                self.coeff_e, e.reshape((self.nd,) + self.shape)
+            ).reshape(-1)
         )(eye)
         A = jnp.transpose(cols)
         self.chol = jax.scipy.linalg.cho_factor(A)
