@@ -441,6 +441,29 @@ class Level:
             self.invd_k = ps.pack_field3d(self.inv_diag)
 
     @classmethod
+    def from_packed3d(cls, op, coeff_k, invd_k, mask, shape, nd,
+                      interpret=False):
+        """3D level straight from packed kernel-layout data."""
+        from .ops import pallas_smooth as ps
+
+        lv = cls.__new__(cls)
+        lv.op = op
+        lv.coeff = None
+        lv.coeff_e = None
+        lv.coeff_lp = None
+        lv.mask = mask
+        lv.shape = tuple(int(s) for s in shape)
+        lv.nd = int(nd)
+        lv.chol = None
+        lv.pallas = False
+        lv.pallas3 = True
+        lv.pallas_interpret = interpret
+        lv.coeff_k = coeff_k
+        lv.invd_k = invd_k
+        lv.inv_diag = ps.unpack_field3d(invd_k, *lv.shape)
+        return lv
+
+    @classmethod
     def from_packed(cls, op, coeff_k, invd_k, mask, shape, nd, ty,
                     interpret=False):
         """Level straight from packed kernel-layout data.
@@ -461,6 +484,7 @@ class Level:
         lv.nd = int(nd)
         lv.chol = None
         lv.pallas = True
+        lv.pallas3 = False
         lv.pallas_interpret = interpret
         lv.ty = int(ty)
         lv.coeff_k = coeff_k
@@ -471,16 +495,6 @@ class Level:
         return lv
 
     def matvec(self, u):
-        if self.coeff_e is None:
-            from .ops import pallas_smooth as ps
-
-            ny, nx = self.shape
-            yk = ps.fused_sweeps_2d(
-                self.coeff_k, self.invd_k, None, ps.pack_field2d(u, self.ty),
-                niter=0, want_resid=True, neg_resid=True, omega=1.0,
-                ty=self.ty, interpret=self.pallas_interpret,
-            )
-            return ps.unpack_field2d(yk, ny, nx)
         if self.pallas3:
             from .ops import pallas_smooth as ps
 
@@ -491,6 +505,16 @@ class Level:
                 interpret=self.pallas_interpret,
             )
             return ps.unpack_field3d(out, nz, ny, nx)
+        if self.coeff_e is None:
+            from .ops import pallas_smooth as ps
+
+            ny, nx = self.shape
+            yk = ps.fused_sweeps_2d(
+                self.coeff_k, self.invd_k, None, ps.pack_field2d(u, self.ty),
+                niter=0, want_resid=True, neg_resid=True, omega=1.0,
+                ty=self.ty, interpret=self.pallas_interpret,
+            )
+            return ps.unpack_field2d(yk, ny, nx)
         return self.op.matvec(self.coeff_e, u)
 
     def matvec_lp(self, u):
@@ -1087,7 +1111,7 @@ class GMGAssembler3D:
                  nu_post=2, omega=0.6, min_n=3, coarse_dense=True,
                  elem_path="uniform", smoother_dtype=None,
                  smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
-                 pallas_min=0):
+                 pallas_min=0, pallas_asm_min=8192):
         from .mesh import ProblemCreator
         from .elements import get_element
         from .ops import stiffness
@@ -1102,6 +1126,7 @@ class GMGAssembler3D:
         self.smoother, self.cheb_lam = smoother, cheb_lam
         self.pallas_smooth = bool(pallas_smooth)
         self.pallas_min = int(pallas_min)
+        self.pallas_asm_min = int(pallas_asm_min)
         nd = 3 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -1114,7 +1139,7 @@ class GMGAssembler3D:
 
         self.sizes = _grid_sizes_3d(nx, ny, nz, min_n=min_n)
         self.static_levels = []
-        for (lnx, lny, lnz) in self.sizes:
+        for li, (lnx, lny, lnz) in enumerate(self.sizes):
             creator = ProblemCreator(
                 nnodes_x=lnx, nnodes_y=lny, nnodes_z=lnz, Lx=Lx, Ly=Ly,
                 Lz=Lz, element_type="block",
@@ -1122,12 +1147,36 @@ class GMGAssembler3D:
             conn32 = jnp.asarray(creator.conn.astype(np.int32))
             op = Stencil3D(lnx, lny, lnz, nd)
             Xe = jnp.asarray(creator.X, dtype)[conn32]
-            mask = jnp.asarray(_left_face_mask(lnx, lny, lnz, nd))
+            mask_np = _left_face_mask(lnx, lny, lnz, nd)
+            mask = jnp.asarray(mask_np)
             Kq = GMGAssembler.unit_matrices(
                 self, creator.X[np.asarray(creator.conn[0])]
             )
+            # fused Pallas assembly (packed output) for large levels
+            pal = None
+            if (
+                self.pallas_smooth
+                and elem_path == "uniform"
+                and li < len(self.sizes) - 1
+                and lnz * lny * lnx >= self.pallas_asm_min
+            ):
+                from .ops import pallas_assemble as pa
+                from .ops.pallas_smooth import _geom3d
+
+                W3 = pa.assembly_weights3d(op.plan, np.asarray(Kq), nd, 8)
+                nyp, nxp = _geom3d(lny, lnx)
+                maskf = (~mask_np).astype(np.float32)
+                maskf_a = jnp.stack(
+                    [
+                        pa.pack_assembly_field3d(
+                            jnp.asarray(maskf[c], dtype), nyp, nxp
+                        )
+                        for c in range(nd)
+                    ]
+                )
+                pal = (W3, maskf_a)
             self.static_levels.append(
-                (op, Xe, conn32, mask, (lnz, lny, lnx), Kq)
+                (op, Xe, conn32, mask, (lnz, lny, lnx), Kq, pal)
             )
 
     def material_planes(self, rho_grid):
@@ -1169,7 +1218,26 @@ class GMGAssembler3D:
         rho_grid = jnp.asarray(rho, self.dtype).reshape(nz, ny, nx)
         levels = []
         pal_interp = jax.default_backend() == "cpu"
-        for (op, Xe, conn32, mask, shape, Kq) in self.static_levels:
+        for (op, Xe, conn32, mask, shape, Kq, pal) in self.static_levels:
+            if pal is not None:
+                from .ops import pallas_assemble as pa
+                from .ops.pallas_smooth import _geom3d
+
+                W3, maskf_a = pal
+                lnz, lny, lnx = shape
+                nyp, nxp = _geom3d(lny, lnx)
+                rho_a = pa.pack_assembly_field3d(rho_grid, nyp, nxp)
+                ck, dk = pa.assemble_pack_3d(
+                    rho_a, maskf_a, W3, np.asarray(self.N),
+                    nd=self.nd, p=self.p, nz=lnz, ny=lny, nx=lnx,
+                    interpret=pal_interp,
+                )
+                levels.append(Level.from_packed3d(
+                    op, ck, dk, mask, shape, self.nd,
+                    interpret=pal_interp,
+                ))
+                rho_grid = rho_grid[0::2, 0::2, 0::2]
+                continue
             if self.elem_path == "uniform":
                 coeff = op.assemble_uniform(self.material_planes(rho_grid), Kq)
             else:

@@ -237,3 +237,163 @@ def assemble_pack_2d(rho_a, maskf_a, W36, N, *, nd, p, ny, nx, ty=32,
             interpret=interpret,
         )(rho_a, maskf_a)
     return coeff_k, invd_k
+
+
+# ---------------------------------------------------------------------------
+# 3D (hex8) fused uniform assembly — z-slab grid, plain BlockSpecs
+# ---------------------------------------------------------------------------
+
+_HEX8_LOCAL = (
+    (0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0),
+    (1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0),
+)
+
+
+def pack_assembly_field3d(u, nyp, nxp):
+    """(nz, ny, nx) -> (nz + 2, nyp, nxp): logical (z,y,x) at +1 each."""
+    nz, ny, nx = u.shape
+    out = jnp.zeros((nz + 2, nyp, nxp), u.dtype)
+    return out.at[1 : 1 + nz, 1 : 1 + ny, 1 : 1 + nx].set(u)
+
+
+def assembly_weights3d(plan, Kq, nd, nq):
+    """Host: W (nd*nd*27, 8, nq) from the Stencil3D plan + unit matrices."""
+    Kq = np.asarray(Kq, np.float64)
+    W = np.zeros((nd * nd * 27, 8, nq))
+    for (ca, cb, dz, dy, dx, az, ay, ax, r, s) in plan:
+        k = (ca * nd + cb) * 27 + dz * 9 + dy * 3 + dx
+        W[k, az * 4 + ay * 2 + ax, :] += Kq[:, r, s]
+    return W
+
+
+def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez):
+    # refs: rho_t, rho_m, rho_b, m_t, m_m, m_b, cout, dout
+    rho = refs[0:3]
+    msk = refs[3:6]
+    cout, dout = refs[6], refs[7]
+    i = pl.program_id(0)
+
+    nq = N.shape[0]
+    YI, XI = nyp - 2, nxp - 2
+    ey = jax.lax.broadcasted_iota(jnp.int32, (nyp - 1, nxp - 1), 0) - 1
+    ex = jax.lax.broadcasted_iota(jnp.int32, (nyp - 1, nxp - 1), 1) - 1
+    inplane = ((ey >= 0) & (ey < ney) & (ex >= 0) & (ex < nex)).astype(
+        rho[0].dtype
+    )
+
+    # material at quad points for the two element slabs ez = i-1+s
+    Cq = [[None] * nq for _ in range(2)]
+    for s in range(2):
+        ez = i - 1 + s
+        zval = ((ez >= 0) & (ez < nez)).astype(rho[0].dtype)
+        valid = zval * inplane
+        for q in range(nq):
+            acc = None
+            for n, (nzo, nyo, nxo) in enumerate(_HEX8_LOCAL):
+                t = float(N[q, n]) * rho[s + nzo][
+                    0, nyo : nyo + nyp - 1, nxo : nxo + nxp - 1
+                ]
+                acc = t if acc is None else acc + t
+            Cq[s][q] = valid * acc / (1.0 + p * (1.0 - acc))
+
+    rowm = [msk[1][c, 0, 1 : 1 + YI, 1 : 1 + XI] for c in range(nd)]
+    diags = [None] * nd
+    zplane = jnp.zeros((nyp, nxp), rho[0].dtype)
+    for ca in range(nd):
+        for cb in range(nd):
+            for dz in range(3):
+                for dy in range(3):
+                    colm = msk[dz][cb, 0, dy : dy + YI, :]
+                    for dx in range(3):
+                        k = (ca * nd + cb) * 27 + dz * 9 + dy * 3 + dx
+                        acc = None
+                        for o in range(8):
+                            w = W[k, o]
+                            if not np.any(w):
+                                continue
+                            az, r = divmod(o, 4)
+                            ay, ax = divmod(r, 2)
+                            for q in range(nq):
+                                if w[q] == 0.0:
+                                    continue
+                                t = float(w[q]) * Cq[1 - az][q][
+                                    1 - ay : 1 - ay + YI,
+                                    1 - ax : 1 - ax + XI,
+                                ]
+                                acc = t if acc is None else acc + t
+                        if acc is None:
+                            plane = jnp.zeros((YI, XI), rho[0].dtype)
+                        else:
+                            plane = acc * rowm[ca] * colm[:, dx : dx + XI]
+                        if ca == cb and dz == dy == dx == 1:
+                            plane = plane + (1.0 - rowm[ca])
+                            diags[ca] = plane
+                        cout[k, 0] = zplane
+                        cout[k, 0, 1 : 1 + YI, 1 : 1 + XI] = plane
+    for c in range(nd):
+        d = diags[c]
+        dout[c, 0] = zplane
+        dout[c, 0, 1 : 1 + YI, 1 : 1 + XI] = rowm[c] / jnp.where(
+            d == 0.0, 1.0, d
+        )
+
+
+def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx,
+                     interpret=False):
+    """3D density grid -> packed eliminated coefficients + inv diagonal.
+
+    Args:
+        rho_a: (nz+2, nyp, nxp) ``pack_assembly_field3d`` density.
+        maskf_a: (nd, nz+2, nyp, nxp) free-dof mask, same packing.
+        W: ``assembly_weights3d`` (numpy, static).
+        N: (nq, 8) hex8 shape values (numpy, static).
+
+    Returns:
+        (coeff_k, invd_k): (nd*nd*27, nz, ny+2, nxp), (nd, nz, ny+2,
+        nxp) — ``pallas_smooth`` 3D layouts.
+    """
+    from .pallas_smooth import _geom3d
+
+    W = np.asarray(W)
+    N = np.asarray(N)
+    nyp, nxp = _geom3d(ny, nx)
+    nk = nd * nd * 27
+    dt = rho_a.dtype
+
+    blk = lambda d0: pl.BlockSpec(
+        (d0, 1, nyp, nxp), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    rblk = lambda off: pl.BlockSpec(
+        (1, nyp, nxp), lambda i, o=off: (i + o, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    mblk = lambda off: pl.BlockSpec(
+        (nd, 1, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kern = functools.partial(
+        _kernel3d, nd=nd, nyp=nyp, nxp=nxp, W=W, N=N, p=float(p),
+        ney=ny - 1, nex=nx - 1, nez=nz - 1,
+    )
+    esize = np.dtype(dt).itemsize
+    buf = 2 * (nk + nd + 3 + 3 * nd) * nyp * nxp * esize
+    with jax.enable_x64(False):
+        coeff_k, invd_k = pl.pallas_call(
+            kern,
+            grid=(nz,),
+            in_specs=[rblk(0), rblk(1), rblk(2), mblk(0), mblk(1),
+                      mblk(2)],
+            out_specs=(blk(nk), blk(nd)),
+            out_shape=(
+                jax.ShapeDtypeStruct((nk, nz, nyp, nxp), dt),
+                jax.ShapeDtypeStruct((nd, nz, nyp, nxp), dt),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    100 * 1024 * 1024, 2 * buf + (1 << 24)
+                )
+            ),
+            interpret=interpret,
+        )(rho_a, rho_a, rho_a, maskf_a, maskf_a, maskf_a)
+    return coeff_k, invd_k

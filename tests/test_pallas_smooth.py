@@ -187,3 +187,39 @@ def test_gmg3d_pcg_with_pallas_smoother():
     )
     assert abs(sols[True][1] - sols[False][1]) <= 2
     assert rel < 5e-4
+
+
+def test_fused_assembly3d_matches_xla():
+    """assemble_pack_3d == packed XLA route on every non-coarsest level."""
+    n = 9
+    rng = np.random.default_rng(0)
+    rho = jnp.asarray(rng.uniform(0.3, 1.0, n ** 3), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    a_x = multigrid.GMGAssembler3D(n, n, n, 1.0, 1.0, 1.0, "elasticity",
+                                   p=3.0, dtype=jnp.float32,
+                                   pallas_smooth=True,
+                                   pallas_asm_min=10 ** 9)
+    a_p = multigrid.GMGAssembler3D(n, n, n, 1.0, 1.0, 1.0, "elasticity",
+                                   p=3.0, dtype=jnp.float32,
+                                   pallas_smooth=True, pallas_asm_min=0)
+    gx, lx = a_x.assemble(rho)
+    gp, lp = a_p.assemble(rho)
+    n_packed = 0
+    for a, c in zip(gx.levels, gp.levels):
+        if c.coeff_e is None:
+            n_packed += 1
+            nzl, nyl, nxl = a.shape
+            d = jnp.abs(
+                a.coeff_k[:, :, 1 : 1 + nyl, 1 : 1 + nxl]
+                - c.coeff_k[:, :, 1 : 1 + nyl, 1 : 1 + nxl]
+            )
+            assert float(d.max()) < 1e-5
+    assert n_packed >= 1
+    bb = jnp.where(lx.mask, 0.0, b)
+    x1, k1, _ = multigrid.pcg(lx.matvec, gx.apply, bb, rtol=1e-7,
+                              maxiter=100)
+    x2, k2, _ = multigrid.pcg(lp.matvec, gp.apply, bb, rtol=1e-7,
+                              maxiter=100)
+    rel = float(jnp.abs(x1 - x2).max() / jnp.abs(x1).max())
+    assert abs(int(k1) - int(k2)) <= 2
+    assert rel < 5e-4
