@@ -437,11 +437,12 @@ class Level:
             from .ops import pallas_smooth as ps
 
             assert smoother_dtype is None
-            self.coeff_k = ps.pack_coeff3d(self.coeff_e)
-            self.invd_k = ps.pack_field3d(self.inv_diag)
+            self.tz = int(pallas_ty)
+            self.coeff_k = ps.pack_coeff3d(self.coeff_e, self.tz)
+            self.invd_k = ps.pack_field3d(self.inv_diag, tz=self.tz)
 
     @classmethod
-    def from_packed3d(cls, op, coeff_k, invd_k, mask, shape, nd,
+    def from_packed3d(cls, op, coeff_k, invd_k, mask, shape, nd, tz=1,
                       interpret=False):
         """3D level straight from packed kernel-layout data."""
         from .ops import pallas_smooth as ps
@@ -458,6 +459,7 @@ class Level:
         lv.pallas = False
         lv.pallas3 = True
         lv.pallas_interpret = interpret
+        lv.tz = int(tz)
         lv.coeff_k = coeff_k
         lv.invd_k = invd_k
         lv.inv_diag = ps.unpack_field3d(invd_k, *lv.shape)
@@ -500,8 +502,9 @@ class Level:
 
             nz, ny, nx = self.shape
             out = ps.fused_sweep_3d(
-                self.coeff_k, None, None, ps.pack_field3d(u, zpad=1),
-                mode="matvec", neg_resid=True,
+                self.coeff_k, None, None,
+                ps.pack_field3d(u, zpad=1, tz=self.tz),
+                mode="matvec", neg_resid=True, tz=self.tz,
                 interpret=self.pallas_interpret,
             )
             return ps.unpack_field3d(out, nz, ny, nx)
@@ -561,10 +564,10 @@ class Level:
         from .ops import pallas_smooth as ps
 
         nz, ny, nx = self.shape
-        xk = ps.pack_field3d(x, zpad=1)
+        xk = ps.pack_field3d(x, zpad=1, tz=self.tz)
         out = ps.fused_sweep_3d(
             self.coeff_k, self.invd_k, bk, xk, mode="sweep",
-            omega=omega, interpret=self.pallas_interpret,
+            omega=omega, tz=self.tz, interpret=self.pallas_interpret,
         )
         return ps.unpack_field3d(out, nz, ny, nx)
 
@@ -573,9 +576,9 @@ class Level:
         from .ops import pallas_smooth as ps
 
         nz, ny, nx = self.shape
-        xk = ps.pack_field3d(x, zpad=1)
+        xk = ps.pack_field3d(x, zpad=1, tz=self.tz)
         out = ps.fused_sweep_3d(
-            self.coeff_k, None, bk, xk, mode="resid",
+            self.coeff_k, None, bk, xk, mode="resid", tz=self.tz,
             interpret=self.pallas_interpret,
         )
         return ps.unpack_field3d(out, nz, ny, nx)
@@ -692,7 +695,7 @@ class GMG:
         elif use_pallas3:
             from .ops import pallas_smooth as ps
 
-            bk = ps.pack_field3d(b)
+            bk = ps.pack_field3d(b, tz=lv.tz)
             x = self.omega * lv.inv_diag * jnp.where(lv.mask, 0.0, b)
             for _ in range(self.nu_pre - 1):
                 x = lv.sweep3d(bk, x, self.omega)
@@ -1111,7 +1114,7 @@ class GMGAssembler3D:
                  nu_post=2, omega=0.6, min_n=3, coarse_dense=True,
                  elem_path="uniform", smoother_dtype=None,
                  smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
-                 pallas_min=0, pallas_asm_min=8192):
+                 pallas_min=0, pallas_asm_min=8192, pallas_tz=1):
         from .mesh import ProblemCreator
         from .elements import get_element
         from .ops import stiffness
@@ -1127,6 +1130,7 @@ class GMGAssembler3D:
         self.pallas_smooth = bool(pallas_smooth)
         self.pallas_min = int(pallas_min)
         self.pallas_asm_min = int(pallas_asm_min)
+        self.pallas_tz = int(pallas_tz)
         nd = 3 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -1169,7 +1173,8 @@ class GMGAssembler3D:
                 maskf_a = jnp.stack(
                     [
                         pa.pack_assembly_field3d(
-                            jnp.asarray(maskf[c], dtype), nyp, nxp
+                            jnp.asarray(maskf[c], dtype), nyp, nxp,
+                            tz=self.pallas_tz,
                         )
                         for c in range(nd)
                     ]
@@ -1226,14 +1231,16 @@ class GMGAssembler3D:
                 W3, maskf_a = pal
                 lnz, lny, lnx = shape
                 nyp, nxp = _geom3d(lny, lnx)
-                rho_a = pa.pack_assembly_field3d(rho_grid, nyp, nxp)
+                rho_a = pa.pack_assembly_field3d(
+                    rho_grid, nyp, nxp, tz=self.pallas_tz
+                )
                 ck, dk = pa.assemble_pack_3d(
                     rho_a, maskf_a, W3, np.asarray(self.N),
                     nd=self.nd, p=self.p, nz=lnz, ny=lny, nx=lnx,
-                    interpret=pal_interp,
+                    tz=self.pallas_tz, interpret=pal_interp,
                 )
                 levels.append(Level.from_packed3d(
-                    op, ck, dk, mask, shape, self.nd,
+                    op, ck, dk, mask, shape, self.nd, tz=self.pallas_tz,
                     interpret=pal_interp,
                 ))
                 rho_grid = rho_grid[0::2, 0::2, 0::2]
@@ -1244,7 +1251,7 @@ class GMGAssembler3D:
                 Ke = self._elem_matrices(Xe, conn32, rho_grid.reshape(-1))
                 coeff = op.assemble(Ke)
             pal_ty = (
-                1  # flag only; 3D kernels tile z slabs, no row tiles
+                self.pallas_tz  # z-slabs per program for the 3D kernels
                 if self.pallas_smooth
                 and int(np.prod(shape)) >= self.pallas_min
                 else None

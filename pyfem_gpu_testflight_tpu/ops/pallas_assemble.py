@@ -249,10 +249,12 @@ _HEX8_LOCAL = (
 )
 
 
-def pack_assembly_field3d(u, nyp, nxp):
-    """(nz, ny, nx) -> (nz + 2, nyp, nxp): logical (z,y,x) at +1 each."""
+def pack_assembly_field3d(u, nyp, nxp, tz=1):
+    """(nz, ny, nx) -> (nz_pad + 2, nyp, nxp): logical (z,y,x) at +1."""
+    from .pallas_smooth import _nzpad
+
     nz, ny, nx = u.shape
-    out = jnp.zeros((nz + 2, nyp, nxp), u.dtype)
+    out = jnp.zeros((_nzpad(nz, tz) + 2, nyp, nxp), u.dtype)
     return out.at[1 : 1 + nz, 1 : 1 + ny, 1 : 1 + nx].set(u)
 
 
@@ -338,7 +340,7 @@ def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez):
         )
 
 
-def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx,
+def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
                      interpret=False):
     """3D density grid -> packed eliminated coefficients + inv diagonal.
 
@@ -352,11 +354,12 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx,
         (coeff_k, invd_k): (nd*nd*27, nz, ny+2, nxp), (nd, nz, ny+2,
         nxp) — ``pallas_smooth`` 3D layouts.
     """
-    from .pallas_smooth import _geom3d
+    from .pallas_smooth import _geom3d, _nzpad
 
     W = np.asarray(W)
     N = np.asarray(N)
     nyp, nxp = _geom3d(ny, nx)
+    nz_pad = _nzpad(nz, tz)
     nk = nd * nd * 27
     dt = rho_a.dtype
 
@@ -381,13 +384,13 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx,
     with jax.enable_x64(False):
         coeff_k, invd_k = pl.pallas_call(
             kern,
-            grid=(nz,),
+            grid=(nz_pad,),
             in_specs=[rblk(0), rblk(1), rblk(2), mblk(0), mblk(1),
                       mblk(2)],
             out_specs=(blk(nk), blk(nd)),
             out_shape=(
-                jax.ShapeDtypeStruct((nk, nz, nyp, nxp), dt),
-                jax.ShapeDtypeStruct((nd, nz, nyp, nxp), dt),
+                jax.ShapeDtypeStruct((nk, nz_pad, nyp, nxp), dt),
+                jax.ShapeDtypeStruct((nd, nz_pad, nyp, nxp), dt),
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(

@@ -343,39 +343,45 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
 # slabs carry no alignment constraints), and y/x halos live inside the
 # blocks as 1-padded extents.  Everything is auto-pipelined by Pallas.
 
-_TZ = 1  # z-slabs per program
-
-
 def _geom3d(ny, nx):
     nyp = ny + 2
     nxp = ((nx + 2 + 127) // 128) * 128
     return nyp, nxp
 
 
-def pack_coeff3d(coeff):
-    """(nd,nd,3,3,3,nz,ny,nx) eliminated -> (nk, nz, ny+2, nxp)."""
+def _nzpad(nz, tz):
+    return ((nz + tz - 1) // tz) * tz
+
+
+def pack_coeff3d(coeff, tz=1):
+    """(nd,nd,3,3,3,nz,ny,nx) eliminated -> (nk, nz_pad, ny+2, nxp)."""
     nd = coeff.shape[0]
     nz, ny, nx = coeff.shape[-3:]
     nyp, nxp = _geom3d(ny, nx)
-    out = jnp.zeros((nd * nd * 27, nz, nyp, nxp), coeff.dtype)
-    return out.at[:, :, 1 : 1 + ny, 1 : 1 + nx].set(
+    out = jnp.zeros((nd * nd * 27, _nzpad(nz, tz), nyp, nxp), coeff.dtype)
+    return out.at[:, :nz, 1 : 1 + ny, 1 : 1 + nx].set(
         coeff.reshape(nd * nd * 27, nz, ny, nx)
     )
 
 
-def pack_field3d(u, zpad=0):
-    """(nd, nz, ny, nx) -> (nd, nz + 2*zpad, ny+2, nxp), zero-padded."""
+def pack_field3d(u, zpad=0, tz=1):
+    """(nd, nz, ny, nx) -> (nd, nz_pad + 2*zpad*tz, ny+2, nxp).
+
+    zpad=1 gives the tz-slab halo layout consumed as the x operand
+    (logical z at physical z + tz); zpad=0 is the plain layout.
+    """
     nd, nz, ny, nx = u.shape
     nyp, nxp = _geom3d(ny, nx)
-    out = jnp.zeros((nd, nz + 2 * zpad, nyp, nxp), u.dtype)
-    return out.at[:, zpad : zpad + nz, 1 : 1 + ny, 1 : 1 + nx].set(u)
+    h = zpad * tz
+    out = jnp.zeros((nd, _nzpad(nz, tz) + 2 * h, nyp, nxp), u.dtype)
+    return out.at[:, h : h + nz, 1 : 1 + ny, 1 : 1 + nx].set(u)
 
 
 def unpack_field3d(uk, nz, ny, nx):
     return uk[:, :nz, 1 : 1 + ny, 1 : 1 + nx]
 
 
-def _kernel3d(*refs, nd, nyp, nxp, mode, neg_resid, omega):
+def _kernel3d(*refs, nd, nyp, nxp, mode, neg_resid, omega, tz):
     # refs: coeff, invd?, b?, x_top, x_mid, x_bot, out
     idx = 0
     cref = refs[idx]; idx += 1
@@ -391,7 +397,7 @@ def _kernel3d(*refs, nd, nyp, nxp, mode, neg_resid, omega):
     out = refs[idx]
 
     YI, XI = nyp - 2, nxp - 2
-    xs = [x_t, x_m, x_b]
+    xcat = jnp.concatenate([x_t[...], x_m[...], x_b[...]], axis=1)
     for c in range(nd):
         acc = None
         for c2 in range(nd):
@@ -399,48 +405,52 @@ def _kernel3d(*refs, nd, nyp, nxp, mode, neg_resid, omega):
                 for dy in range(3):
                     for dx in range(3):
                         k = ((c * nd + c2) * 27 + dz * 9 + dy * 3 + dx)
-                        t = cref[k, 0, 1 : 1 + YI, 1 : 1 + XI] * xs[dz][
-                            c2, 0, dy : dy + YI, dx : dx + XI
+                        t = cref[k, :, 1 : 1 + YI, 1 : 1 + XI] * xcat[
+                            c2, tz + dz - 1 : 2 * tz + dz - 1,
+                            dy : dy + YI, dx : dx + XI,
                         ]
                         acc = t if acc is None else acc + t
         if mode == "matvec":
             v = -acc if not neg_resid else acc
         elif mode == "resid":
-            bv = bref[c, 0, 1 : 1 + YI, 1 : 1 + XI]
+            bv = bref[c, :, 1 : 1 + YI, 1 : 1 + XI]
             v = (acc - bv) if neg_resid else (bv - acc)
         else:  # sweep: x + omega * invd * (b - A x)
-            bv = bref[c, 0, 1 : 1 + YI, 1 : 1 + XI]
-            v = x_m[c, 0, 1 : 1 + YI, 1 : 1 + XI] + omega * dref[
-                c, 0, 1 : 1 + YI, 1 : 1 + XI
-            ] * (bv - acc)
-        out[c, 0] = jnp.zeros((nyp, nxp), v.dtype)
-        out[c, 0, 1 : 1 + YI, 1 : 1 + XI] = v
+            bv = bref[c, :, 1 : 1 + YI, 1 : 1 + XI]
+            v = xcat[c, tz : 2 * tz, 1 : 1 + YI, 1 : 1 + XI] + (
+                omega
+                * dref[c, :, 1 : 1 + YI, 1 : 1 + XI]
+                * (bv - acc)
+            )
+        out[c] = jnp.zeros((tz, nyp, nxp), v.dtype)
+        out[c, :, 1 : 1 + YI, 1 : 1 + XI] = v
 
 
 def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
-                   mode="sweep", neg_resid=False, omega=0.6,
+                   mode="sweep", neg_resid=False, omega=0.6, tz=1,
                    interpret=False):
-    """One fused 27-point operation per z-slab on packed 3D data.
+    """One fused 27-point operation per z-tile on packed 3D data.
 
     mode: "sweep"  -> x + omega * invd * (b - A x)   (needs invd, b, x)
           "resid"  -> +-(b - A x)                    (needs b, x)
           "matvec" -> A x (neg_resid=True) or -A x   (needs x only)
 
-    x_k must be packed with zpad=1 (``pack_field3d(x, zpad=1)``); all
-    other operands and the result use zpad=0.  Returns the packed
-    (nd, nz, ny+2, nxp) result.
+    x_k must be packed with ``pack_field3d(x, zpad=1, tz=tz)``; all
+    other operands and the result use the plain (zpad=0) layout with
+    the same tz.  Returns the packed (nd, nz_pad, ny+2, nxp) result.
     """
-    nk, nz, nyp, nxp = coeff_k.shape
+    nk, nzp, nyp, nxp = coeff_k.shape
     nd = x_k.shape[0]
     assert nk == nd * nd * 27
-    assert x_k.shape[1] == nz + 2
+    assert x_k.shape[1] == nzp + 2 * tz
+    n_tiles = nzp // tz
 
     blk = lambda d0: pl.BlockSpec(
-        (d0, _TZ, nyp, nxp), lambda i: (0, i, 0, 0),
+        (d0, tz, nyp, nxp), lambda i: (0, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
     xblk = lambda off: pl.BlockSpec(
-        (nd, _TZ, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
+        (nd, tz, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
         memory_space=pltpu.VMEM,
     )
     inputs = [coeff_k]
@@ -455,23 +465,23 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
     in_specs += [xblk(0), xblk(1), xblk(2)]
 
     esize = jnp.dtype(coeff_k.dtype).itemsize
-    buf_bytes = 2 * (nk + 3 * nd + 2 * nd + nd) * nyp * nxp * esize
+    buf_bytes = 2 * (nk + 3 * nd + 2 * nd + nd) * tz * nyp * nxp * esize
     kern = functools.partial(
         _kernel3d, nd=nd, nyp=nyp, nxp=nxp, mode=mode,
-        neg_resid=neg_resid, omega=float(omega),
+        neg_resid=neg_resid, omega=float(omega), tz=tz,
     )
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
-            grid=(nz,),
+            grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=blk(nd),
             out_shape=jax.ShapeDtypeStruct(
-                (nd, nz, nyp, nxp), coeff_k.dtype
+                (nd, nzp, nyp, nxp), coeff_k.dtype
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
-                    100 * 1024 * 1024, 2 * buf_bytes + (1 << 24)
+                    110 * 1024 * 1024, buf_bytes + (1 << 24)
                 )
             ),
             interpret=interpret,

@@ -209,9 +209,10 @@ def test_fused_assembly3d_matches_xla():
         if c.coeff_e is None:
             n_packed += 1
             nzl, nyl, nxl = a.shape
+            # padding z-slabs carry the kernel's diag-fix (never read)
             d = jnp.abs(
-                a.coeff_k[:, :, 1 : 1 + nyl, 1 : 1 + nxl]
-                - c.coeff_k[:, :, 1 : 1 + nyl, 1 : 1 + nxl]
+                a.coeff_k[:, :nzl, 1 : 1 + nyl, 1 : 1 + nxl]
+                - c.coeff_k[:, :nzl, 1 : 1 + nyl, 1 : 1 + nxl]
             )
             assert float(d.max()) < 1e-5
     assert n_packed >= 1
