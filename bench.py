@@ -45,9 +45,10 @@ def run_3d(args, log):
                                  nodal_force, p=0.0, dtype=dtype)
     Lx, Ly, Lz = (float(X[:, k].max()) for k in range(3))
     log(f"3d: ndof={model.ndof} nelems={model.nelems} dtype={dtype}")
+    sm_dtype = jnp.bfloat16 if args.smoother_dtype == "bfloat16" else None
     asm = multigrid.GMGAssembler3D(
         n, n, n, Lx, Ly, Lz, "elasticity", p=0.0, dtype=dtype,
-        nu_pre=args.nu, nu_post=args.nu,
+        nu_pre=args.nu, nu_post=args.nu, smoother_dtype=sm_dtype,
         pallas_smooth=args.pallas_smooth, pallas_min=args.pallas_min,
     )
     log(f"3d gmg levels: {asm.sizes}")
@@ -61,7 +62,8 @@ def run_3d(args, log):
             interleave_to_planar(rhs, 3).reshape(3, n, n, n),
         )
         x, k, rn = multigrid.pcg(lv0.matvec, gmg.apply, b,
-                                 rtol=args.rtol, maxiter=args.maxiter)
+                                 rtol=args.rtol, maxiter=args.maxiter,
+                                 flexible=sm_dtype is not None)
         return planar_to_interleave(x.reshape(-1), 3), k, rn
 
     rho = jnp.ones((model.nnodes,), dtype)
@@ -128,6 +130,11 @@ def main():
                     help="row-tile size of the fused smoother kernel")
     ap.add_argument("--pallas-min", dest="pallas_min", type=int, default=0,
                     help="smallest ny*nx level using the Pallas smoother")
+    ap.add_argument("--smoother-dtype", dest="smoother_dtype",
+                    choices=["none", "bfloat16"], default="bfloat16",
+                    help="low-precision coefficient copy for the Pallas "
+                         "smoother (flexible PCG; PCG operator stays "
+                         "f32)")
     ap.add_argument("--min_n", type=int, default=5,
                     help="coarsest-grid size floor")
     ap.add_argument("--check", action="store_true",
@@ -167,9 +174,11 @@ def main():
     log(f"ndof={ndof} nelems={model.nelems} dtype={dtype} "
         f"precond={args.precond}")
 
+    sm_dtype = jnp.bfloat16 if args.smoother_dtype == "bfloat16" else None
     asm = multigrid.GMGAssembler(
         args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype,
         nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
+        smoother_dtype=sm_dtype,
         pallas_smooth=args.pallas_smooth, pallas_ty=args.pallas_ty,
         pallas_min=args.pallas_min,
     )
@@ -260,7 +269,8 @@ def main():
                     lv0.mask, 0.0, r
                 )
             x, k, rn = multigrid.pcg(lv0.matvec, precond, b, rtol=rtol,
-                                     maxiter=maxiter)
+                                     maxiter=maxiter,
+                                     flexible=sm_dtype is not None)
             return planar_to_interleave(x.reshape(-1), 2), k, rn
 
         return jax.jit(step)

@@ -429,21 +429,31 @@ class Level:
         if self.pallas:
             from .ops import pallas_smooth as ps
 
-            assert smoother_dtype is None
             self.ty = int(pallas_ty)
             self.coeff_k = ps.pack_coeff2d(self.coeff_e, self.ty)
             self.invd_k = ps.pack_field2d(self.inv_diag, self.ty)
+            self.coeff_lp_k = (
+                ps.pack_coeff2d(self.coeff_e, self.ty,
+                                dtype=smoother_dtype)
+                if smoother_dtype else None
+            )
         elif self.pallas3:
             from .ops import pallas_smooth as ps
 
-            assert smoother_dtype is None
             self.tz = int(pallas_ty)
             self.coeff_k = ps.pack_coeff3d(self.coeff_e, self.tz)
             self.invd_k = ps.pack_field3d(self.inv_diag, tz=self.tz)
+            # optional low-precision coeff copy for the smoother only
+            # (matvec — the PCG operator — stays f32); needs flexible
+            # PCG outside
+            self.coeff_lp_k = (
+                self.coeff_k.astype(smoother_dtype)
+                if smoother_dtype else None
+            )
 
     @classmethod
     def from_packed3d(cls, op, coeff_k, invd_k, mask, shape, nd, tz=1,
-                      interpret=False):
+                      smoother_dtype=None, interpret=False):
         """3D level straight from packed kernel-layout data."""
         from .ops import pallas_smooth as ps
 
@@ -462,12 +472,15 @@ class Level:
         lv.tz = int(tz)
         lv.coeff_k = coeff_k
         lv.invd_k = invd_k
+        lv.coeff_lp_k = (
+            coeff_k.astype(smoother_dtype) if smoother_dtype else None
+        )
         lv.inv_diag = ps.unpack_field3d(invd_k, *lv.shape)
         return lv
 
     @classmethod
     def from_packed(cls, op, coeff_k, invd_k, mask, shape, nd, ty,
-                    interpret=False):
+                    smoother_dtype=None, interpret=False):
         """Level straight from packed kernel-layout data.
 
         Built by the fused Pallas assembly (``ops.pallas_assemble``); no
@@ -491,6 +504,9 @@ class Level:
         lv.ty = int(ty)
         lv.coeff_k = coeff_k
         lv.invd_k = invd_k
+        lv.coeff_lp_k = (
+            coeff_k.astype(smoother_dtype) if smoother_dtype else None
+        )
         lv.inv_diag = ps.unpack_field2d(
             invd_k, lv.shape[0], lv.shape[1]
         )
@@ -536,8 +552,11 @@ class Level:
 
         ny, nx = self.shape
         bk = ps.pack_field2d(b, self.ty)
+        ck = self.coeff_lp_k if getattr(
+            self, "coeff_lp_k", None
+        ) is not None else self.coeff_k
         xk, rk = ps.fused_sweeps_2d(
-            self.coeff_k, self.invd_k, bk, None, niter=niter,
+            ck, self.invd_k, bk, None, niter=niter,
             want_resid=True, omega=omega, ty=self.ty,
             interpret=self.pallas_interpret,
         )
@@ -550,8 +569,11 @@ class Level:
         ny, nx = self.shape
         bk = ps.pack_field2d(b, self.ty)
         x0k = ps.pack_field2d(x0, self.ty)
+        ck = self.coeff_lp_k if getattr(
+            self, "coeff_lp_k", None
+        ) is not None else self.coeff_k
         xk = ps.fused_sweeps_2d(
-            self.coeff_k, self.invd_k, bk, x0k, niter=niter,
+            ck, self.invd_k, bk, x0k, niter=niter,
             want_resid=False, omega=omega, ty=self.ty,
             interpret=self.pallas_interpret,
         )
@@ -565,8 +587,9 @@ class Level:
 
         nz, ny, nx = self.shape
         xk = ps.pack_field3d(x, zpad=1, tz=self.tz)
+        ck = self.coeff_lp_k if self.coeff_lp_k is not None else self.coeff_k
         out = ps.fused_sweep_3d(
-            self.coeff_k, self.invd_k, bk, xk, mode="sweep",
+            ck, self.invd_k, bk, xk, mode="sweep",
             omega=omega, tz=self.tz, interpret=self.pallas_interpret,
         )
         return ps.unpack_field3d(out, nz, ny, nx)
@@ -577,8 +600,9 @@ class Level:
 
         nz, ny, nx = self.shape
         xk = ps.pack_field3d(x, zpad=1, tz=self.tz)
+        ck = self.coeff_lp_k if self.coeff_lp_k is not None else self.coeff_k
         out = ps.fused_sweep_3d(
-            self.coeff_k, None, bk, xk, mode="resid", tz=self.tz,
+            ck, None, bk, xk, mode="resid", tz=self.tz,
             interpret=self.pallas_interpret,
         )
         return ps.unpack_field3d(out, nz, ny, nx)
@@ -988,6 +1012,7 @@ class GMGAssembler:
                 )
                 levels.append(Level.from_packed(
                     op, ck, dk, mask, shape, self.nd, self.pallas_ty,
+                    smoother_dtype=self.smoother_dtype,
                     interpret=pal_interp,
                 ))
             else:
@@ -1241,6 +1266,7 @@ class GMGAssembler3D:
                 )
                 levels.append(Level.from_packed3d(
                     op, ck, dk, mask, shape, self.nd, tz=self.pallas_tz,
+                    smoother_dtype=self.smoother_dtype,
                     interpret=pal_interp,
                 ))
                 rho_grid = rho_grid[0::2, 0::2, 0::2]

@@ -56,14 +56,22 @@ def _geom(ny, nx, ty):
     return ny_pad, nxp
 
 
-def pack_coeff2d(coeff, ty=32):
-    """(nd, nd, 3, 3, ny, nx) BC-eliminated planes -> packed kernel layout."""
+def pack_coeff2d(coeff, ty=32, dtype=None):
+    """(nd, nd, 3, 3, ny, nx) BC-eliminated planes -> packed kernel layout.
+
+    dtype=bfloat16 halves the smoother's coefficient traffic (the
+    kernel converts to the field dtype in registers); requires
+    ty % 16 == 0 so DMA windows stay (16, 128)-tile aligned.
+    """
     nd = coeff.shape[0]
     ny, nx = coeff.shape[-2:]
     ny_pad, nxp = _geom(ny, nx, ty)
-    out = jnp.zeros((nd * nd * 9, ny_pad + 2 * _PADY, nxp), coeff.dtype)
+    dt = dtype or coeff.dtype
+    if jnp.dtype(dt).itemsize < 4:
+        assert ty % 16 == 0
+    out = jnp.zeros((nd * nd * 9, ny_pad + 2 * _PADY, nxp), dt)
     return out.at[:, _PADY : _PADY + ny, 1 : 1 + nx].set(
-        coeff.reshape(nd * nd * 9, ny, nx)
+        coeff.reshape(nd * nd * 9, ny, nx).astype(dt)
     )
 
 
@@ -155,6 +163,8 @@ def _kernel(*refs, nd, TY, W, nxp, niter, x0_zero, b_zero, want_resid,
 
     WI, XI = W - 2, nxp - 2  # interior compute extents
 
+    fdt = d_s.dtype
+
     def matvec(xbuf):
         """A x on interior rows [1, W-1), cols [1, nxp-1)."""
         accs = []
@@ -164,9 +174,10 @@ def _kernel(*refs, nd, TY, W, nxp, niter, x0_zero, b_zero, want_resid,
                 for dy in range(3):
                     for dx in range(3):
                         k = (c * nd + c2) * 9 + dy * 3 + dx
-                        t = c_s[slot, k, 1 : 1 + WI, 1 : 1 + XI] * xbuf[
-                            c2, dy : dy + WI, dx : dx + XI
-                        ]
+                        cv = c_s[slot, k, 1 : 1 + WI, 1 : 1 + XI]
+                        if cv.dtype != fdt:
+                            cv = cv.astype(fdt)  # bf16 load, f32 math
+                        t = cv * xbuf[c2, dy : dy + WI, dx : dx + XI]
                         acc = t if acc is None else acc + t
             accs.append(acc)
         return accs
@@ -270,7 +281,7 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     out_shape, out_specs = [], []
-    fld = jax.ShapeDtypeStruct((nd, ny_pad, nxp), coeff_k.dtype)
+    fld = jax.ShapeDtypeStruct((nd, ny_pad, nxp), invd_k.dtype)
     blk = pl.BlockSpec(
         (nd, ty, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
@@ -281,9 +292,9 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
         out_shape.append(fld)
         out_specs.append(blk)
 
-    dt = coeff_k.dtype
+    dt = invd_k.dtype
     scratch = [
-        pltpu.VMEM((2, nk, W, nxp), dt),
+        pltpu.VMEM((2, nk, W, nxp), coeff_k.dtype),
         pltpu.VMEM((2, nd, W, nxp), dt),
     ]
     if not b_zero:
@@ -353,14 +364,19 @@ def _nzpad(nz, tz):
     return ((nz + tz - 1) // tz) * tz
 
 
-def pack_coeff3d(coeff, tz=1):
-    """(nd,nd,3,3,3,nz,ny,nx) eliminated -> (nk, nz_pad, ny+2, nxp)."""
+def pack_coeff3d(coeff, tz=1, dtype=None):
+    """(nd,nd,3,3,3,nz,ny,nx) eliminated -> (nk, nz_pad, ny+2, nxp).
+
+    dtype=bfloat16 halves the smoother's dominant HBM traffic; the
+    kernels convert to f32 in registers (FMA stays f32).
+    """
     nd = coeff.shape[0]
     nz, ny, nx = coeff.shape[-3:]
     nyp, nxp = _geom3d(ny, nx)
-    out = jnp.zeros((nd * nd * 27, _nzpad(nz, tz), nyp, nxp), coeff.dtype)
+    dt = dtype or coeff.dtype
+    out = jnp.zeros((nd * nd * 27, _nzpad(nz, tz), nyp, nxp), dt)
     return out.at[:, :nz, 1 : 1 + ny, 1 : 1 + nx].set(
-        coeff.reshape(nd * nd * 27, nz, ny, nx)
+        coeff.reshape(nd * nd * 27, nz, ny, nx).astype(dt)
     )
 
 
@@ -398,6 +414,7 @@ def _kernel3d(*refs, nd, nyp, nxp, mode, neg_resid, omega, tz):
 
     YI, XI = nyp - 2, nxp - 2
     xcat = jnp.concatenate([x_t[...], x_m[...], x_b[...]], axis=1)
+    fdt = xcat.dtype
     for c in range(nd):
         acc = None
         for c2 in range(nd):
@@ -405,7 +422,10 @@ def _kernel3d(*refs, nd, nyp, nxp, mode, neg_resid, omega, tz):
                 for dy in range(3):
                     for dx in range(3):
                         k = ((c * nd + c2) * 27 + dz * 9 + dy * 3 + dx)
-                        t = cref[k, :, 1 : 1 + YI, 1 : 1 + XI] * xcat[
+                        cv = cref[k, :, 1 : 1 + YI, 1 : 1 + XI]
+                        if cv.dtype != fdt:
+                            cv = cv.astype(fdt)  # bf16 load, f32 math
+                        t = cv * xcat[
                             c2, tz + dz - 1 : 2 * tz + dz - 1,
                             dy : dy + YI, dx : dx + XI,
                         ]
@@ -477,7 +497,7 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
             in_specs=in_specs,
             out_specs=blk(nd),
             out_shape=jax.ShapeDtypeStruct(
-                (nd, nzp, nyp, nxp), coeff_k.dtype
+                (nd, nzp, nyp, nxp), x_k.dtype
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(

@@ -224,3 +224,43 @@ def test_fused_assembly3d_matches_xla():
     rel = float(jnp.abs(x1 - x2).max() / jnp.abs(x1).max())
     assert abs(int(k1) - int(k2)) <= 2
     assert rel < 5e-4
+
+
+@pytest.mark.parametrize("dim", ["2d", "3d"])
+def test_bf16_smoother_coefficients(dim):
+    """bf16 coefficient copies for the smoother converge under flexible
+    PCG with the same iteration count ballpark (PCG operator stays f32)."""
+    rng = np.random.default_rng(1)
+    if dim == "2d":
+        nx, ny = 65, 33
+        rho = jnp.asarray(rng.uniform(0.3, 1.0, ny * nx), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32)
+    else:
+        n = 9
+        rho = jnp.asarray(rng.uniform(0.3, 1.0, n ** 3), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    sols = {}
+    for smd in (None, jnp.bfloat16):
+        if dim == "2d":
+            asm = multigrid.GMGAssembler(
+                nx, ny, 2.0, 1.0, "elasticity", p=3.0,
+                dtype=jnp.float32, pallas_smooth=True,
+                smoother_dtype=smd,
+            )
+        else:
+            asm = multigrid.GMGAssembler3D(
+                n, n, n, 1.0, 1.0, 1.0, "elasticity", p=3.0,
+                dtype=jnp.float32, pallas_smooth=True,
+                pallas_asm_min=0, smoother_dtype=smd,
+            )
+        gmg, lv0 = asm.assemble(rho)
+        bb = jnp.where(lv0.mask, 0.0, b)
+        x, k, _ = multigrid.pcg(lv0.matvec, gmg.apply, bb, rtol=1e-6,
+                                maxiter=200, flexible=smd is not None)
+        sols[smd is None] = (np.asarray(x), int(k))
+    rel = (
+        np.abs(sols[True][0] - sols[False][0]).max()
+        / np.abs(sols[True][0]).max()
+    )
+    assert abs(sols[True][1] - sols[False][1]) <= 3
+    assert rel < 5e-3  # bf16 smoother, both converged at rtol 1e-6
