@@ -193,17 +193,12 @@ def main():
 
     # -- accuracy (mixed f64/f32) step ------------------------------------
     # float64 fine-level operator (uniform-geometry unit matrices — the
-    # f64-safe, einsum-free route on TPU) + V-cycle preconditioner
-    # assembled in f32 and cast to f64 once per solve
+    # f64-safe, einsum-free route on TPU) + the *f32 Pallas* V-cycle
+    # applied through casts under flexible PCG (the preconditioner only
+    # steers the search direction; the f64 operator sets the accuracy)
     def make_accuracy_step():
         rtol64 = 1e-11 if args.rtol == 1e-6 else args.rtol
-        # the accuracy preconditioner casts unpacked f32 coefficients to
-        # f64, so it needs the XLA assembly (no packed pallas levels)
-        asm32 = asm if not args.pallas_smooth else multigrid.GMGAssembler(
-            args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype,
-            nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
-        )
-        st0 = asm32.static_levels[0][0]
+        st0 = asm.static_levels[0][0]
         asm64 = multigrid.GMGAssembler(
             args.nx, args.ny, Lx, Ly, "elasticity", p=0.0,
             dtype=jnp.float64,
@@ -221,28 +216,22 @@ def main():
 
         def solve64(coeff64, rho, rhs, chain):
             rho = rho + 0.0 * chain[0].astype(rho.dtype)
-            gmg32, lv0 = asm32.assemble(rho)  # f32-assembled hierarchy
-            # cast the hierarchy to f64 once, outside the CG loop: mixing
-            # f32/f64 casts inside the while_loop faulted the TPU runtime
-            levels64 = [
-                multigrid.Level(
-                    l.op, l.coeff.astype(jnp.float64), l.mask, l.shape, l.nd
-                )
-                for l in gmg32.levels
-            ]
-            gmg = multigrid.GMG(
-                levels64, nu_pre=asm32.nu_pre, nu_post=asm32.nu_post,
-                omega=asm32.omega,
-            )
+            gmg32, lv0 = asm.assemble(rho)  # f32 (Pallas) hierarchy
             mask = lv0.mask
             matvec = lambda u: st0.bc_matvec(coeff64, mask, u)
-            precond = gmg.apply
+
+            def precond(r):
+                z = gmg32.apply(
+                    jnp.where(mask, 0.0, r).astype(jnp.float32)
+                )
+                return z.astype(jnp.float64)
+
             rhs_g = interleave_to_planar(rhs.astype(jnp.float64), 2).reshape(
                 2, args.ny, args.nx
             )
             b = jnp.where(mask, 0.0, rhs_g)
             x, k, rn = multigrid.pcg(matvec, precond, b, rtol=rtol64,
-                                     maxiter=maxiter)
+                                     maxiter=maxiter, flexible=True)
             return planar_to_interleave(x.reshape(-1), 2), k, rn
 
         solve64_jit = jax.jit(solve64)
