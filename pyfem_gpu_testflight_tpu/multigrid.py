@@ -8,11 +8,14 @@ meshes the framework (and the reference's own benchmarks) actually use,
 * every level's operator is a DIA (stencil) matrix -> SpMV is shifted
   contiguous multiply-adds (``ops.dia``);
 * prolongation is bilinear interpolation on the (ny, nx[, nz]) node
-  grid, implemented as strided slice assignments; restriction is its
-  exact transpose (the FEM Galerkin convention — nested coarse bases)
-  so the V-cycle is a symmetric (SPD) preconditioner for CG;
-* smoothing is damped Jacobi (symmetric pre+post), the coarsest level is
-  smoothed to death;
+  grid (reshape/interleave form by default — see restrict2d_il);
+  restriction is its exact transpose (the FEM Galerkin convention —
+  nested coarse bases) so the V-cycle is a symmetric (SPD)
+  preconditioner for CG;
+* smoothing is damped Jacobi (symmetric pre+post), fused Pallas
+  kernels when ``pallas_smooth`` is on (optionally with bfloat16
+  coefficient copies); the coarsest level is solved by dense Cholesky
+  or smoothed to death;
 * coarse operators are *rediscretized* on the coarse ProblemCreator
   grids (cheap — the whole assembly pipeline is a few einsums), with
   nodal densities restricted by injection.

@@ -1,4 +1,4 @@
-"""Fused Pallas uniform-geometry assembly for the 2D GMG hierarchy.
+"""Fused Pallas uniform-geometry assembly for the GMG hierarchies (2D + 3D).
 
 One kernel pass turns a nodal density grid directly into the *packed,
 BC-eliminated* stencil coefficient planes plus the packed inverse

@@ -1,4 +1,4 @@
-"""Fused Pallas Jacobi-sweep kernels for the GMG V-cycle (2D).
+"""Fused Pallas Jacobi-sweep kernels for the GMG V-cycle (2D + 3D).
 
 The XLA V-cycle pays one full read of the 36 stencil coefficient
 planes per smoother matvec: at 1M dof the fine level alone moves
