@@ -188,6 +188,34 @@ def prolong2d_il(c, fine_shape):
     return _interleave2(ce, rowavg, 1, nyf)
 
 
+def restrict_axis_il(f, axis, nc):
+    """One separable tent-restriction step along ``axis`` (global pads)."""
+    e, o = _deinterleave2(f, axis)
+    idx = [slice(None)] * e.ndim
+    idx[axis] = slice(0, nc)
+    e = e[tuple(idx)]
+    idx[axis] = slice(0, nc - 1)
+    o = o[tuple(idx)]
+    pb = [(0, 0)] * f.ndim
+    pa = [(0, 0)] * f.ndim
+    pb[axis] = (1, 0)
+    pa[axis] = (0, 1)
+    return e + 0.5 * (jnp.pad(o, pb) + jnp.pad(o, pa))
+
+
+def prolong_axis_il(c, axis, nf):
+    """One separable tent-prolongation step along ``axis``."""
+    lo = [slice(None)] * c.ndim
+    hi = [slice(None)] * c.ndim
+    lo[axis] = slice(0, c.shape[axis] - 1)
+    hi[axis] = slice(1, c.shape[axis])
+    avg = 0.5 * (c[tuple(lo)] + c[tuple(hi)])
+    pa = [(0, 0)] * c.ndim
+    pa[axis] = (0, 1)
+    avg = jnp.pad(avg, pa)
+    return _interleave2(c, avg, axis, nf)
+
+
 def restrict3d_il(f, coarse_shape):
     """3D reshape/interleave restriction, identical to restrict3d.
 

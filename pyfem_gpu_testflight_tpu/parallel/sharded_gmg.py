@@ -13,11 +13,11 @@ pyfem.py:2392-2422) over a 1D ``jax.sharding.Mesh``:
   ``jax.lax.ppermute`` (XLA lowers it to ICI neighbor transfers on real
   hardware; devices at the global boundary receive zeros, matching the
   zero-padded global matvec);
-* grid transfers are the same stride-2 tent convs as the single-chip
-  path (multigrid.restrict/prolong*_conv), evaluated on haloed local
-  blocks — bitwise the same math as the global convs (NOTE:
-  jax.lax.conv_transpose applies explicit padding pairs to the dilated
-  input, so the sharded prolongation pads (1, 0) on the sharded axis);
+* grid transfers use the same reshape/interleave tent form as the
+  single-chip path (multigrid.restrict/prolong*_il), with the sharded
+  lead axis handled through a one-slab halo — the same math as the
+  haloed stride-2 convs they replace, without the conv ops that
+  relayout pathologically next to Pallas custom calls;
 * coarse levels below the sharded prefix are *replicated*: one
   ``all_gather`` of the (tiny) residual, then every device redundantly
   runs the remaining V-cycle including the dense-Cholesky coarsest
@@ -53,11 +53,14 @@ from .. import multigrid
 from ..multigrid import (
     GMGAssembler,
     GMGAssembler3D,
-    _tent_kernel,
-    prolong2d_conv,
-    prolong3d_conv,
-    restrict2d_conv,
-    restrict3d_conv,
+    _deinterleave2,
+    _interleave2,
+    prolong2d_il,
+    prolong3d_il,
+    prolong_axis_il,
+    restrict2d_il,
+    restrict3d_il,
+    restrict_axis_il,
 )
 
 __all__ = ["ShardedGMG2D", "ShardedGMG3D", "dryrun"]
@@ -86,15 +89,11 @@ class _ShardedGMGBase:
         self.nl = [m * (1 << (S - 1 - l)) for l in range(S)]
         self.shapes = [sl[4] for sl in asm.static_levels]
         if self.dim == 2:
-            self._restrict_full = restrict2d_conv
-            self._prolong_full = prolong2d_conv
-            self._tdims = ("NCHW", "HWIO", "NCHW")
-            self._kperm = (2, 3, 0, 1)
+            self._restrict_full = restrict2d_il
+            self._prolong_full = prolong2d_il
         else:
-            self._restrict_full = restrict3d_conv
-            self._prolong_full = prolong3d_conv
-            self._tdims = ("NCDHW", "DHWIO", "NCDHW")
-            self._kperm = (2, 3, 4, 0, 1)
+            self._restrict_full = restrict3d_il
+            self._prolong_full = prolong3d_il
         self._jit_step = None
 
     # -- the shard_mapped solve -------------------------------------------
@@ -149,30 +148,33 @@ class _ShardedGMGBase:
 
             return jax.lax.fori_loop(0, niter, body, x)
 
-        tent = _tent_kernel(dim, b0.dtype)
-        conv_pad = ((0, 0),) + ((1, 1),) * (dim - 1)
-
         def restrict_loc(f):
-            """Haloed stride-2 tent conv: local fine -> local coarse."""
-            out = jax.lax.conv_general_dilated(
-                halo(f)[:, None], tent, window_strides=(2,) * dim,
-                padding=conv_pad, precision=jax.lax.Precision.HIGHEST,
-            )
-            return out[:, 0]
+            """Haloed interleave restriction: local fine -> local coarse.
 
-        tpad = ((1, 0),) + ((1, 1),) * (dim - 1)
+            Trailing (unsharded) axes use the global separable step;
+            the sharded lead axis uses the halo form
+            c[j] = o[j] + 0.5 (e[j] + e[j+1]) on the slab-haloed field
+            (zeros arrive at the global ends, matching the conv pads
+            this replaces — convs next to Pallas custom calls relayout
+            pathologically, see multigrid.restrict2d_il).
+            """
+            for ax in range(2, f.ndim):
+                f = restrict_axis_il(f, ax, (f.shape[ax] + 1) // 2)
+            hf = halo(f)  # lead rows [-1, nl+1)
+            e, o = _deinterleave2(hf, 1)
+            nl2 = f.shape[1] // 2
+            return o[:, :nl2] + 0.5 * (e[:, :nl2] + e[:, 1 : nl2 + 1])
 
         def prolong_loc(c):
-            """Right-haloed conv_transpose: local coarse -> local fine."""
+            """Right-haloed interleave prolongation: coarse -> fine."""
             hi = jax.lax.ppermute(c[:, :1], axis, bwd)
             ch = jnp.concatenate([c, hi], axis=1)
-            out = jax.lax.conv_transpose(
-                ch[:, None], jnp.transpose(tent, self._kperm),
-                strides=(2,) * dim, padding=tpad,
-                dimension_numbers=self._tdims,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return out[:, 0]
+            nl2 = c.shape[1]
+            avg = 0.5 * (ch[:, :nl2] + ch[:, 1 : nl2 + 1])
+            f = _interleave2(c, avg, 1, 2 * nl2)
+            for ax in range(2, f.ndim):
+                f = prolong_axis_il(f, ax, 2 * f.shape[ax] - 1)
+            return f
 
         # replicated tail: plain stencil matvecs on full (small) grids
         rep_ops = [sl[0] for sl in self.asm.static_levels[S:]]
