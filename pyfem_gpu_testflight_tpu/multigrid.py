@@ -533,14 +533,23 @@ class Level:
         lv.pallas3 = False
         lv.pallas_interpret = interpret
         lv.ty = int(ty)
+        if smoother_dtype and jnp.dtype(smoother_dtype).itemsize < 4:
+            # same (16, 128)-tile DMA-window constraint pack_coeff2d
+            # enforces; packed inputs bypass it otherwise
+            assert lv.ty % 16 == 0, (
+                "sub-4-byte smoother_dtype requires ty % 16 == 0"
+            )
         lv.coeff_k = coeff_k
         lv.invd_k = invd_k
         lv.coeff_lp_k = (
             coeff_k.astype(smoother_dtype) if smoother_dtype else None
         )
-        lv.inv_diag = ps.unpack_field2d(
-            invd_k, lv.shape[0], lv.shape[1]
-        )
+        # invd_k is in the kernel *input* layout (logical row iy at
+        # physical iy + _PADY, col ix at ix + 1) — not the output
+        # layout unpack_field2d strips
+        lv.inv_diag = invd_k[
+            :, ps._PADY : ps._PADY + lv.shape[0], 1 : 1 + lv.shape[1]
+        ]
         return lv
 
     def matvec(self, u):
@@ -733,10 +742,22 @@ class GMG:
         return x
 
     def _cycle(self, k, b):
+        from .ops.pallas_smooth import SWEEP_BUDGET
+
         lv = self.levels[k]
         jac = self.smoother == "jacobi"
-        use_pallas = getattr(lv, "pallas", False) and jac
-        use_pallas3 = getattr(lv, "pallas3", False) and jac
+        # fused 2D sweeps are valid only within the 8-row ghost zone
+        # (presmooth consumes nu_pre halo rows, postsmooth nu_post) and
+        # the kernels have no nu=0 form — fall back to the XLA smoother
+        # otherwise (packed-only levels still matvec through Pallas)
+        nu_ok = (
+            1 <= self.nu_pre <= SWEEP_BUDGET
+            and 1 <= self.nu_post <= SWEEP_BUDGET
+        )
+        use_pallas = getattr(lv, "pallas", False) and jac and nu_ok
+        use_pallas3 = (
+            getattr(lv, "pallas3", False) and jac and self.nu_pre >= 1
+        )
         if k == len(self.levels) - 1:
             if lv.chol is not None:
                 x = jax.scipy.linalg.cho_solve(lv.chol, b.reshape(-1))
@@ -1170,7 +1191,12 @@ class GMGAssembler3D:
                  nu_post=2, omega=0.6, min_n=3, coarse_dense=True,
                  elem_path="uniform", smoother_dtype=None,
                  smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
-                 pallas_min=0, pallas_asm_min=8192, pallas_tz=1):
+                 pallas_min=0, pallas_asm_min=8192, pallas_tz=1,
+                 fine_mask=None):
+        """fine_mask: optional (nd, nz, ny, nx) bool Dirichlet mask;
+        coarse masks by injection (default: clamp the x=0 face, the
+        create_*_problem factories' layout — general ``dof_fixed`` of
+        pyfem.py:639-657 comes through the model's mask)."""
         from .mesh import ProblemCreator
         from .elements import get_element
         from .ops import stiffness
@@ -1199,6 +1225,9 @@ class GMGAssembler3D:
 
         self.sizes = _grid_sizes_3d(nx, ny, nz, min_n=min_n)
         self.static_levels = []
+        cur_mask = None
+        if fine_mask is not None:
+            cur_mask = np.asarray(fine_mask).reshape(nd, nz, ny, nx)
         for li, (lnx, lny, lnz) in enumerate(self.sizes):
             creator = ProblemCreator(
                 nnodes_x=lnx, nnodes_y=lny, nnodes_z=lnz, Lx=Lx, Ly=Ly,
@@ -1207,7 +1236,11 @@ class GMGAssembler3D:
             conn32 = jnp.asarray(creator.conn.astype(np.int32))
             op = Stencil3D(lnx, lny, lnz, nd)
             Xe = jnp.asarray(creator.X, dtype)[conn32]
-            mask_np = _left_face_mask(lnx, lny, lnz, nd)
+            if cur_mask is not None:
+                mask_np = cur_mask.copy()
+                cur_mask = cur_mask[:, ::2, ::2, ::2]
+            else:
+                mask_np = _left_face_mask(lnx, lny, lnz, nd)
             mask = jnp.asarray(mask_np)
             Kq = GMGAssembler.unit_matrices(
                 self, creator.X[np.asarray(creator.conn[0])]

@@ -49,6 +49,16 @@ __all__ = [
 
 _PADY = 8  # top halo rows (also DMA row-alignment unit)
 
+# Each fused sweep (and the trailing residual) is valid one halo row
+# less than its input: the 8-row halo funds at most 7 halo-consuming
+# passes.  The elementwise first sweep from x = 0 consumes none.
+SWEEP_BUDGET = _PADY - 1
+
+
+def halo_sweeps_2d(niter, x0_zero, want_resid):
+    """Halo rows consumed by a fused_sweeps_2d call."""
+    return (niter - (1 if x0_zero else 0)) + (1 if want_resid else 0)
+
 
 def _geom(ny, nx, ty):
     ny_pad = ((ny + ty - 1) // ty) * ty
@@ -270,6 +280,13 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
     b_zero = b_k is None
     assert not (x0_zero and niter == 0)
     assert not (b_zero and x0_zero)
+    # ghost-zone validity: beyond this the returned iterate/residual is
+    # silently wrong near tile seams (callers must fall back to the XLA
+    # smoother for larger nu — see GMG._cycle)
+    assert halo_sweeps_2d(niter, x0_zero, want_resid) <= SWEEP_BUDGET, (
+        f"fused_sweeps_2d: niter={niter} (x0_zero={x0_zero}, "
+        f"want_resid={want_resid}) exceeds the {_PADY}-row halo budget"
+    )
 
     inputs = [coeff_k, invd_k]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2

@@ -226,3 +226,90 @@ def test_model_gmg_nonzero_dirichlet():
     u_gmg = np.asarray(model.solve(method="gmg", rtol=1e-12))
     u_ref = np.asarray(model.solve(method="direct"))
     np.testing.assert_allclose(u_gmg, u_ref, rtol=1e-7, atol=1e-10)
+
+
+def test_interleave_transfers_match_slice_forms():
+    """restrict/prolong *_il (the GMG defaults) == the slice-based tent
+    forms, 2D and 3D, for even and odd grid extents."""
+    from pyfem_gpu_testflight_tpu.multigrid import (
+        prolong2d_il, restrict2d_il, prolong3d, restrict3d,
+        prolong3d_il, restrict3d_il,
+    )
+
+    rng = np.random.default_rng(7)
+    for (nyc, nxc) in [(5, 9), (4, 6), (3, 17)]:
+        nyf, nxf = 2 * nyc - 1, 2 * nxc - 1
+        c = jnp.asarray(rng.standard_normal((2, nyc, nxc)))
+        f = jnp.asarray(rng.standard_normal((2, nyf, nxf)))
+        np.testing.assert_allclose(
+            np.asarray(prolong2d_il(c, (nyf, nxf))),
+            np.asarray(prolong2d(c, (nyf, nxf))), atol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(restrict2d_il(f, (nyc, nxc))),
+            np.asarray(restrict2d(f, (nyc, nxc))), atol=1e-13,
+        )
+    for (nzc, nyc, nxc) in [(3, 5, 4), (4, 3, 6)]:
+        fine = (2 * nzc - 1, 2 * nyc - 1, 2 * nxc - 1)
+        c = jnp.asarray(rng.standard_normal((3, nzc, nyc, nxc)))
+        f = jnp.asarray(rng.standard_normal((3,) + fine))
+        np.testing.assert_allclose(
+            np.asarray(prolong3d_il(c, fine)),
+            np.asarray(prolong3d(c, fine)), atol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(restrict3d_il(f, (nzc, nyc, nxc))),
+            np.asarray(restrict3d(f, (nzc, nyc, nxc))), atol=1e-13,
+        )
+
+
+def test_gmg_large_nu_falls_back_to_xla():
+    """nu beyond the Pallas halo budget must not corrupt the solve
+    (ADVICE r2: ty=8, niter>=8 was silently wrong near tile seams).
+
+    The packed (from_packed) levels have no XLA coefficient planes, so
+    the fallback smoother matvecs through the Pallas kernel (niter=0
+    residual form) — exercised here with the fused assembly on."""
+    nx, ny = 33, 17
+    asm = GMGAssembler(nx, ny, 2.0, 1.0, "elasticity", p=0.0,
+                       dtype=jnp.float32, nu_pre=8, nu_post=8,
+                       pallas_smooth=True, pallas_ty=16, pallas_asm_min=0,
+                       coarse_dense=True)
+    gmg, lv0 = asm.assemble(jnp.ones(ny * nx, jnp.float32))
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
+    conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                 nodal_force, p=0.0, dtype=jnp.float64)
+    b = _to_grid(jnp.asarray(model.compute_rhs(), jnp.float32), 2, ny, nx)
+    b = jnp.where(lv0.mask, 0.0, b)
+    x, k, rn = pcg(lv0.matvec, gmg.apply, b, rtol=1e-7, maxiter=200)
+    u = _to_vec(x, 2)
+    u_ref = np.asarray(model.solve(method="direct"))
+    rel = np.linalg.norm(np.asarray(u) - u_ref) / np.linalg.norm(u_ref)
+    assert rel < 5e-5  # f32 solve at rtol 1e-7 vs f64 direct
+
+
+def test_gmg3d_general_dirichlet_mask():
+    """3D GMG with a non-canned BC layout (x=0 AND y=top faces clamped,
+    z-component only on the second) vs the direct solve — general
+    ``dof_fixed`` (pyfem.py:639-657), not the factory's x=0 clamp."""
+    n = 9
+    creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                 element_type="block")
+    conn, X, _, nodal_force = creator.create_linear_elasticity_problem()
+    X = np.asarray(X, float)
+    nodes = np.arange(X.shape[0])
+    left = nodes[X[:, 0] == 0.0]
+    back = nodes[X[:, 1] == X[:, 1].max()]
+    dof_fixed = np.concatenate([
+        (3 * left[:, None] + np.arange(3)).ravel(),  # clamp x=0 face
+        3 * back + 2,                                # z-pin y=max face
+    ])
+    model = fem.LinearElasticity("hex8", X, conn, dof_fixed, None,
+                                 nodal_force, p=3.0, dtype=jnp.float64)
+    model.attach_structured_grid(n, n, n)
+    rng = np.random.RandomState(0)
+    rho = jnp.asarray(0.3 + 0.7 * rng.rand(model.nnodes))
+    u_gmg = np.asarray(model.solve(method="gmg", rho=rho, rtol=1e-11))
+    u_ref = np.asarray(model.solve(method="direct", rho=rho))
+    np.testing.assert_allclose(u_gmg, u_ref, rtol=1e-6, atol=1e-9)
