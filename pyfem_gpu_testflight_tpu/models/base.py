@@ -187,15 +187,15 @@ class FEModel:
         assert self.etype.name == "hex8", "3D gmg requires hex8 grids"
         nx, ny, nz = int(nnodes_x), int(nnodes_y), int(nnodes_z)
         assert nx * ny * nz == self.nnodes
-        # GMGAssembler3D clamps the x=0 face (the problem factories'
-        # layout); verify this model's BCs match that assumption
-        expect = np.zeros((self.nnodes, nd), dtype=bool)
-        expect[np.arange(self.nnodes) % nx == 0] = True
-        assert (np.asarray(self.bc.mask).reshape(-1, nd) == expect).all(), (
-            "3D gmg path currently supports x=0-face clamping only"
+        # interleaved (node, comp) mask -> planar (comp, nz, ny, nx),
+        # injection-coarsened inside the assembler (general dof_fixed
+        # layouts, pyfem.py:639-657)
+        fine_mask = (
+            np.asarray(self.bc.mask)
+            .reshape(nz * ny * nx, nd).T.reshape(nd, nz, ny, nx)
         )
         physics = "elasticity" if nd == 3 else "poisson"
-        kw = dict(p=self.p, dtype=self.dtype)
+        kw = dict(p=self.p, dtype=self.dtype, fine_mask=fine_mask)
         if physics == "elasticity":
             kw.update(E=self.E, nu=self.nu)
         kw.update(gmg_options)
@@ -258,19 +258,20 @@ class FEModel:
                 planar_to_interleave(bz.reshape(-1), nd))
 
     def _solve_gmg(self, rho, rhs, rtol=1e-8, maxiter=400):
-        # one cached jit per model: eager multigrid ops pay a dispatch
-        # round trip each (ruinous over a remote-tunneled device)
-        if getattr(self, "_gmg_jit", None) is None:
+        # cached jits per model (eager multigrid ops pay a dispatch
+        # round trip each — ruinous over a remote-tunneled device),
+        # keyed on whether the BC data is nonzero *at this call*: the
+        # rhs-lift branch is trace-time, so baking it in at first call
+        # would silently skip the lift if bc.values changed later
+        has_vals = bool(np.any(np.asarray(self.bc.values)))
+        if getattr(self, "_gmg_jit_cache", None) is None:
+            self._gmg_jit_cache = {}
+        if self._gmg_jit_cache.get(has_vals) is None:
             from .. import multigrid
             from ..ops.dia import interleave_to_planar, planar_to_interleave
 
             shape = self._gmg_shape
             nd = self.ndof_per_node
-
-            # nonzero fixed values need the raw (uneliminated) operator
-            # for the rhs lift; the packed Pallas assembly keeps only the
-            # eliminated form, so it requires homogeneous Dirichlet data
-            has_vals = bool(np.any(np.asarray(self.bc.values)))
 
             def step(rho_n, rhs_v, vals_v, rtol_v, maxiter):
                 gmg, lv0 = self._gmg_asm.assemble(rho_n)
@@ -303,8 +304,10 @@ class FEModel:
 
             import jax
 
-            self._gmg_jit = jax.jit(step, static_argnames=("maxiter",))
-        u, b, k, rn, bnorm = self._gmg_jit(
+            self._gmg_jit_cache[has_vals] = jax.jit(
+                step, static_argnames=("maxiter",)
+            )
+        u, b, k, rn, bnorm = self._gmg_jit_cache[has_vals](
             self._as_nodal(rho).astype(self.dtype),
             jnp.asarray(rhs, self.dtype),
             self.bc.values.astype(self.dtype),
@@ -339,15 +342,21 @@ class FEModel:
             )
         if method == "amg":
             # unstructured fast path: host smoothed-aggregation setup,
-            # device DIA V-cycle PCG (pyamg's role, pyfem.py:2392-2400)
+            # device DIA V-cycle PCG (pyamg's role, pyfem.py:2392-2400);
+            # the structural setup + compiled program are cached on the
+            # model — repeat solves (topology loops) pay only the value
+            # update
             from .. import unstructured
 
+            if getattr(self, "_amg_cache", None) is None:
+                self._amg_cache = {}
             K = self.assemble_scipy(Ke)
             K, b_np = self.bc.apply_scipy(K, np.asarray(rhs))
             x, k, rn = unstructured.amg_pcg(
                 K, jnp.asarray(b_np, self.dtype), nd=self.ndof_per_node,
                 coords=self.X_host, rtol=rtol,
                 maxiter=maxiter or 10 * self.ndof,
+                cache=self._amg_cache,
             )
             _check_converged("amg-pcg", rn,
                              rtol * np.linalg.norm(b_np), k)
@@ -370,18 +379,21 @@ class FEModel:
                 assembly.bc_elem_matvec, data, b, inv_diag=inv_diag,
                 rtol=rtol, maxiter=maxiter,
             )
-            _check_converged(
-                "cg", res.resnorm, rtol * jnp.linalg.norm(b), res.iters
-            )
-            u = res.x
         else:
-            u = solvers.gmres(
+            res = solvers.gmres(
                 assembly.bc_elem_matvec, data, b, inv_diag=inv_diag,
                 rtol=rtol, maxiter=maxiter,
             )
-            rn = jnp.linalg.norm(b - assembly.bc_elem_matvec(data, u))
-            _check_converged("gmres", rn, rtol * jnp.linalg.norm(b))
-        return u, b
+        _check_converged(
+            method, res.resnorm, rtol * jnp.linalg.norm(b), res.iters
+        )
+        # observable convergence info (Newton logs these per step)
+        self.last_solve_stats = {
+            "method": method,
+            "iters": int(res.iters),
+            "resnorm": float(res.resnorm),
+        }
+        return res.x, b
 
     def _as_nodal(self, rho):
         """Broadcast scalar density to a nodal field (pyfem.py:1015-1016)."""

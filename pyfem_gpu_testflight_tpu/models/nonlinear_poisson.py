@@ -119,6 +119,12 @@ class NonlinearPoisson(FEModel):
         def jac_solve(u_k, res):
             Ke = self.element_jacobian(xdv, u_k)
             du, _ = self._solve_system(Ke, res, method)
+            if verbose and method != "direct":
+                st = self.last_solve_stats
+                print(
+                    f"        [{st['method']}: {st['iters']} iters, "
+                    f"||r|| = {st['resnorm']:.3e}]"
+                )
             return du
 
         return solvers.newton(

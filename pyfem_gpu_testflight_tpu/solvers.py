@@ -4,8 +4,9 @@
   ``lax.while_loop`` — the TPU replacement for the reference's
   pyamg-preconditioned ``scipy cg`` (pyfem.py:2402-2423).  Stopping rule
   matches scipy's legacy semantics: ||r||_2 <= max(rtol * ||b||_2, atol).
-* ``gmres``: ``jax.scipy.sparse.linalg.gmres`` with the same Jacobi
-  preconditioner (for the nonsymmetric Newton systems).
+* ``gmres``: restarted GMRES(m) with the same Jacobi preconditioner
+  applied on the right (for the nonsymmetric Newton systems); returns
+  iteration count and true residual norm like ``cg``.
 * ``direct_solve``: host scipy SuperLU — retained as the float64/complex
   oracle path (reference solver="direct", pyfem.py:2414).
 * ``newton``: the reference's Newton contract (pyfem.py:2319-2355):
@@ -28,10 +29,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "gmres", "direct_solve", "newton", "CGResult"]
+__all__ = ["cg", "gmres", "direct_solve", "newton", "CGResult",
+           "GMRESResult"]
 
 
 class CGResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array
+    resnorm: jax.Array
+
+
+class GMRESResult(NamedTuple):
     x: jax.Array
     iters: jax.Array
     resnorm: jax.Array
@@ -136,6 +144,132 @@ def cg(
     return CGResult(x, k, rn)
 
 
+def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
+               maxiter=1000, restart=30, x0=None):
+    """Traced restarted GMRES(m), right-preconditioned, Givens-updated.
+
+    Right preconditioning (solve A M^-1 y = b, x = M^-1 y) keeps the
+    least-squares residual equal to the *true* residual ||b - A x||, so
+    convergence is reported without an extra host-visible recheck
+    matvec (the reference reads scipy's info flag, pyfem.py:2421-2422).
+
+    Returns:
+        (x, iters, resnorm) — iters counts inner Arnoldi steps taken
+        before the residual estimate first dipped under tolerance.
+    """
+    n = b.shape[0]
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if inv_diag is None:
+        inv_diag = jnp.ones_like(b)
+    m = int(min(restart, n))
+    rdt = jnp.real(b).dtype
+    normb = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * normb, atol).astype(rdt)
+
+    def amv(v):
+        return matvec(inv_diag * v)
+
+    def cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(
+            r / jnp.where(beta > 0, beta, 1.0)
+        )
+        H = jnp.zeros((m, m + 1), b.dtype)  # row j = rotated column j
+        cs = jnp.ones(m, b.dtype)
+        sn = jnp.zeros(m, b.dtype)
+        g = jnp.zeros(m + 1, b.dtype).at[0].set(beta.astype(b.dtype))
+
+        def arnoldi(j, st):
+            V, H, cs, sn, g = st
+            w = amv(V[j])
+            # classical Gram-Schmidt, twice (CGS2): unset rows of V are
+            # zero, so the full-matrix products project on span(V[:j+1])
+            h = V.conj() @ w
+            w = w - h @ V
+            h2 = V.conj() @ w
+            w = w - h2 @ V
+            h = h + h2
+            hn = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.where(hn > 0, hn, 1.0))
+            hcol = h.at[j + 1].add(hn.astype(b.dtype))
+
+            def rot(i, hv):
+                t = cs[i].conj() * hv[i] + sn[i].conj() * hv[i + 1]
+                hv = hv.at[i + 1].set(-sn[i] * hv[i] + cs[i] * hv[i + 1])
+                return hv.at[i].set(t)
+
+            hcol = jax.lax.fori_loop(0, j, rot, hcol)
+            hjj, hsub = hcol[j], hcol[j + 1]
+            den = jnp.sqrt(jnp.abs(hjj) ** 2 + jnp.abs(hsub) ** 2)
+            c_new = jnp.where(den > 0, jnp.abs(hjj) / jnp.where(den > 0, den, 1.0), 1.0)
+            phase = jnp.where(
+                jnp.abs(hjj) > 0,
+                hjj / jnp.where(jnp.abs(hjj) > 0, jnp.abs(hjj), 1.0),
+                1.0,
+            )
+            s_new = jnp.where(
+                den > 0, phase * hsub.conj() / jnp.where(den > 0, den, 1.0), 0.0
+            )
+            cs = cs.at[j].set(c_new.astype(b.dtype))
+            sn = sn.at[j].set(s_new)
+            hcol = hcol.at[j].set((phase * den).astype(b.dtype))
+            hcol = hcol.at[j + 1].set(0.0)
+            g = g.at[j + 1].set(-sn[j] * g[j])
+            g = g.at[j].set(cs[j].conj() * g[j])
+            H = H.at[j].set(hcol)
+            return (V, H, cs, sn, g)
+
+        V, H, cs, sn, g = jax.lax.fori_loop(
+            0, m, arnoldi, (V, H, cs, sn, g)
+        )
+
+        # back substitution on the rotated (upper-triangular) system;
+        # breakdown columns (H[j,j] == 0 after a lucky breakdown) carry
+        # zero g and contribute y[j] = 0
+        def back(i, y):
+            j = m - 1 - i
+            s = g[j] - H[:, j] @ y
+            hjj = H[j, j]
+            yj = jnp.where(
+                jnp.abs(hjj) > 0, s / jnp.where(hjj == 0, 1.0, hjj), 0.0
+            )
+            return y.at[j].set(yj)
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, b.dtype))
+        x = x + inv_diag * (y @ V[:m])
+        # inner steps until the rotated-residual estimate |g| first
+        # dipped under tol (all m always execute; this is the report)
+        took = jnp.minimum(m, jnp.sum(jnp.abs(g[1:]) > tol) + 1)
+        return x, jnp.sqrt(jnp.vdot(b - matvec(x), b - matvec(x)).real), took
+
+    r0 = jnp.linalg.norm(b - matvec(x0))
+
+    def cond(s):
+        _, k, rn = s
+        return (rn > tol) & (k < maxiter)
+
+    def body(s):
+        x, k, _ = s
+        x, rn, took = cycle(x)
+        return (x, k + took, rn)
+
+    x, k, rn = jax.lax.while_loop(cond, body, (x0, 0, r0.astype(rdt)))
+    return x, k, rn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_fn", "maxiter", "restart")
+)
+def _gmres_impl(apply_fn, data, b, x0, inv_diag, rtol, atol, maxiter,
+                restart):
+    return gmres_loop(
+        lambda u: apply_fn(data, u), b, inv_diag=inv_diag, rtol=rtol,
+        atol=atol, maxiter=maxiter, restart=restart, x0=x0,
+    )
+
+
 def gmres(
     apply_fn: Callable,
     data,
@@ -146,32 +280,30 @@ def gmres(
     rtol=1e-8,
     atol=0.0,
     maxiter=None,
+    restart=30,
 ):
-    """Jacobi-preconditioned GMRES via jax.scipy (for nonsymmetric K).
+    """Jacobi-preconditioned restarted GMRES (for nonsymmetric K).
 
-    The system is solved in unit-rhs normalization: jax's GMRES has
-    absolute epsilon floors in its projection arithmetic, so tiny-norm
-    right-hand sides (late Newton steps) stall orders of magnitude above
-    the requested *relative* tolerance unless b is rescaled to O(1).
+    Same calling convention as :func:`cg`; the Jacobi preconditioner is
+    applied on the right so the reported residual is the true one.
+
+    Returns:
+        GMRESResult(x, iters, resnorm).
     """
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = 10 * n
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    M = None
-    if inv_diag is not None:
-        M = lambda v: inv_diag * v
-    normb = jnp.linalg.norm(b)
-    scale = jnp.where(normb > 0, normb, 1.0)
-    x, _ = jax.scipy.sparse.linalg.gmres(
-        lambda v: apply_fn(data, v),
-        b / scale,
-        x0=x0 / scale,
-        tol=rtol,
-        atol=atol,
-        M=M,
-        maxiter=maxiter,
-        solve_method="batched",
+    if inv_diag is None:
+        inv_diag = jnp.ones_like(b)
+    x, k, rn = _gmres_impl(
+        apply_fn, data, b, x0, inv_diag,
+        jnp.asarray(rtol, jnp.real(b).dtype),
+        jnp.asarray(atol, jnp.real(b).dtype),
+        int(maxiter), int(restart),
     )
-    return x * scale
+    return GMRESResult(x, k, rn)
 
 
 def direct_solve(K_csr, rhs):
