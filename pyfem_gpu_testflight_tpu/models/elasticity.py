@@ -75,8 +75,10 @@ class LinearElasticity(FEModel):
         kernel="einsum",
     ):
         """kernel: "einsum" (reference path, any element/dtype) or
-        "pallas" (TPU fast path; quad4 + float32 — the in-repo analogue
-        of the reference's A2DWrapper native kernels, pyfem.py:2180)."""
+        "pallas" (TPU fast path; quad4 or hex8 + float32 — the in-repo
+        analogue of the reference's A2DWrapper native kernels,
+        pyfem.py:2180; hex8 matches A2D's supported element,
+        pyfem.py:2260-2264)."""
         ndims = np.asarray(X).shape[1]
         super().__init__(
             etype, X, conn, dof_fixed, dof_fixed_vals,
@@ -89,26 +91,42 @@ class LinearElasticity(FEModel):
         self.nodal_force = dict(nodal_force or {})
         self._rhs = None
         if kernel == "pallas" and (
-            self.etype.name != "quad4" or self.dtype != jnp.float32
+            self.etype.name not in ("quad4", "hex8")
+            or self.dtype != jnp.float32
         ):
-            raise ValueError("kernel='pallas' requires quad4 + float32")
+            raise ValueError(
+                "kernel='pallas' requires quad4 or hex8 + float32"
+            )
         self.kernel = kernel
         if kernel == "pallas":
-            from ..ops.pallas_stiffness import transpose_xe
+            if self.etype.name == "hex8":
+                from ..ops.pallas_stiffness3d import transpose_xe_hex8
 
-            self._XeT = transpose_xe(self.Xe)
+                self._XeT = transpose_xe_hex8(self.Xe)
+            else:
+                from ..ops.pallas_stiffness import transpose_xe
+
+                self._XeT = transpose_xe(self.Xe)
 
     # -- assembly ----------------------------------------------------------
 
     def element_jacobian(self, rho=1.0):
         rho = self._as_nodal(rho)
         if self.kernel == "pallas" and not jnp.iscomplexobj(rho):
-            from ..ops import pallas_stiffness as pk
+            interp = jax.default_backend() == "cpu"
+            cqT = _cq_transposed(self.N, self.conn, rho, self.p)
+            if self.etype.name == "hex8":
+                from ..ops import pallas_stiffness3d as pk3
 
-            KeT = pk.elasticity_stiffness_quad4(
-                self._XeT, _cq_transposed(self.N, self.conn, rho, self.p),
-                self.mu, self.lam,
-            )
+                KeT = pk3.elasticity_stiffness_hex8(
+                    self._XeT, cqT, self.mu, self.lam, interpret=interp
+                )
+            else:
+                from ..ops import pallas_stiffness as pk
+
+                KeT = pk.elasticity_stiffness_quad4(
+                    self._XeT, cqT, self.mu, self.lam, interpret=interp
+                )
             nn = self.nnodes_per_elem * self.ndof_per_node
             return jnp.transpose(KeT).reshape(self.nelems, nn, nn)
         return _element_jacobian(

@@ -55,6 +55,9 @@ class LinearPoisson(FEModel):
         kappa0: nominal conductivity (kept for API parity; like the
             reference, the stiffness uses the RAMP factor only).
         p: RAMP penalization parameter.
+        kernel: "einsum" (any element/dtype) or "pallas" (quad4/hex8
+            + float32 native element kernels — the A2DWrapper role,
+            pyfem.py:2180, 2260-2264).
     """
 
     def __init__(
@@ -68,6 +71,7 @@ class LinearPoisson(FEModel):
         kappa0=1.0,
         p=0.0,
         dtype=jnp.float64,
+        kernel="einsum",
     ):
         super().__init__(
             etype, X, conn, dof_fixed, dof_fixed_vals, ndof_per_node=1, dtype=dtype
@@ -76,12 +80,49 @@ class LinearPoisson(FEModel):
         self.kappa0 = kappa0
         self.p = float(p)
         self._rhs = None
+        if kernel == "pallas" and (
+            self.etype.name not in ("quad4", "hex8")
+            or self.dtype != jnp.float32
+        ):
+            raise ValueError(
+                "kernel='pallas' requires quad4 or hex8 + float32"
+            )
+        self.kernel = kernel
+        if kernel == "pallas":
+            if self.etype.name == "hex8":
+                from ..ops.pallas_stiffness3d import transpose_xe_hex8
+
+                self._XeT = transpose_xe_hex8(self.Xe)
+            else:
+                from ..ops.pallas_stiffness import transpose_xe
+
+                self._XeT = transpose_xe(self.Xe)
 
     # -- assembly ----------------------------------------------------------
 
     def element_jacobian(self, rho=1.0):
         """Element stiffness matrices Ke (nelems, nn, nn)."""
         rho = self._as_nodal(rho)
+        if self.kernel == "pallas" and not jnp.iscomplexobj(rho):
+            rho_q = geometry.interp_to_quads(
+                self.N, jnp.take(rho, self.conn, axis=0)
+            )
+            cqT = jnp.transpose(ramp(rho_q, self.p))
+            interp = jax.default_backend() == "cpu"
+            if self.etype.name == "hex8":
+                from ..ops import pallas_stiffness3d as pk3
+
+                KeT = pk3.poisson_stiffness_hex8(
+                    self._XeT, cqT, interpret=interp
+                )
+            else:
+                from ..ops import pallas_stiffness as pk
+
+                KeT = pk.poisson_stiffness_quad4(
+                    self._XeT, cqT, interpret=interp
+                )
+            nn = self.nnodes_per_elem
+            return jnp.transpose(KeT).reshape(self.nelems, nn, nn)
         return _element_jacobian(
             self.Xe, self.dN, self.N, self.wq, self.conn, rho, self.p
         )

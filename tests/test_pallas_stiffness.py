@@ -158,3 +158,49 @@ def test_hex8_pallas_matches_einsum():
         np.asarray(KpT.T.reshape(-1, 8, 8)), np.asarray(Kp_ref),
         rtol=3e-5, atol=3e-5,
     )
+
+
+def test_model_hex8_pallas_kernel():
+    """LinearElasticity/LinearPoisson(kernel='pallas') on hex8: the
+    model-reachable A2D role (pyfem.py:2260-2264) — element_jacobian and
+    a full solve match the einsum path on a distorted hex mesh."""
+    creator = fem.ProblemCreator(nnodes_x=5, nnodes_y=4, nnodes_z=4,
+                                 element_type="block")
+    conn, X, dof_fixed, force = creator.create_linear_elasticity_problem()
+    rng = np.random.RandomState(3)
+    X = np.asarray(X, float)
+    X += 0.02 * rng.randn(*X.shape)  # unstructured-like geometry
+    kw = dict(dtype=jnp.float32)
+    rho = jnp.asarray(0.4 + 0.6 * rng.rand(X.shape[0]), jnp.float32)
+
+    m_ref = fem.LinearElasticity("hex8", X, conn, dof_fixed, None, force,
+                                 p=3.0, **kw)
+    m_pal = fem.LinearElasticity("hex8", X, conn, dof_fixed, None, force,
+                                 p=3.0, kernel="pallas", **kw)
+    Ke_p = np.asarray(m_pal.element_jacobian(rho))
+    Ke_r = np.asarray(m_ref.element_jacobian(rho))
+    np.testing.assert_allclose(Ke_p, Ke_r, rtol=3e-5, atol=3e-5)
+    u_p = np.asarray(m_pal.solve(method="cg", rho=rho, rtol=1e-7))
+    u_r = np.asarray(m_ref.solve(method="cg", rho=rho, rtol=1e-7))
+    rel = np.linalg.norm(u_p - u_r) / np.linalg.norm(u_r)
+    assert rel < 5e-4
+
+    mp_ref = fem.LinearPoisson("hex8", X, conn, dof_fixed[::3] // 3,
+                               gfunc=lambda x: 1.0 + 0 * x[..., 0], **kw)
+    mp_pal = fem.LinearPoisson("hex8", X, conn, dof_fixed[::3] // 3,
+                               gfunc=lambda x: 1.0 + 0 * x[..., 0],
+                               kernel="pallas", **kw)
+    np.testing.assert_allclose(
+        np.asarray(mp_pal.element_jacobian(rho)),
+        np.asarray(mp_ref.element_jacobian(rho)),
+        rtol=3e-5, atol=3e-5,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fem.LinearElasticity("hex8", X, conn, dof_fixed, None, force,
+                             kernel="pallas")  # f64 default -> error
+    with pytest.raises(ValueError):
+        fem.LinearPoisson("tri3", X[:, :2] * 0, np.zeros((1, 3), int),
+                          kernel="pallas", dtype=jnp.float32)
