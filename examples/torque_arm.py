@@ -66,8 +66,14 @@ def main():
 
     inp = args.inp
     if inp is None:
-        inp = synthesize_arm_inp("arm_synth.inp")
-        print(f"[info] synthesized mesh at {inp}")
+        # prefer the reference's real asset when mounted
+        ref_arm = "/root/reference/examples/torque_arm/arm.inp"
+        if os.path.exists(ref_arm):
+            inp = ref_arm
+            print(f"[info] using reference mesh {inp}")
+        else:
+            inp = synthesize_arm_inp("arm_synth.inp")
+            print(f"[info] synthesized mesh at {inp}")
 
     parser = fem.InpParser(inp)
     conn_dict, X, groups = parser.parse()
@@ -91,7 +97,9 @@ def main():
     ux, uy = u[0::2], u[1::2]
     print(f"max |ux| = {np.abs(ux).max():.6e}, max |uy| = {np.abs(uy).max():.6e}")
 
-    out = os.path.splitext(inp)[0] + "_result.vtk"
+    # write next to the cwd (the .inp may live on a read-only mount)
+    base = os.path.splitext(os.path.basename(inp))[0]
+    out = base + "_result.vtk"
     fem.to_vtk({"CPS3": conn}, X, {"ux": ux, "uy": uy}, out)
 
 

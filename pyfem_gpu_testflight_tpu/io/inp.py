@@ -52,7 +52,13 @@ class InpParser:
                 if etype not in SUPPORTED_ELEMENTS:
                     continue
                 rows = self._parse_indexed(chunk["lines"], int, -1)
-                conn[etype] = np.array(rows, dtype=np.int64)
+                arr = np.array(rows, dtype=np.int64)
+                # multiple sections of one type (e.g. per-ELSET chunks)
+                # concatenate; the reference silently kept only the last
+                # (parse_inp.py:73-75) — strictly safer here
+                if etype in conn:
+                    arr = np.concatenate([conn[etype], arr])
+                conn[etype] = arr
             elif kind == "nset":
                 nodes = []
                 for line in chunk["lines"]:
