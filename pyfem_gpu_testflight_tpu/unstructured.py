@@ -45,12 +45,24 @@ def rcm_permutation(A_csr):
     return np.asarray(reverse_cuthill_mckee(A_csr, symmetric_mode=True))
 
 
-def csr_to_dia(A_csr, dtype, max_offsets=2048):
-    """(DiaOperator, values (noffs, n)) from a host CSR matrix."""
+def csr_to_dia(A_csr, dtype, max_offsets=2048, offsets=None):
+    """(DiaOperator, values (noffs, n), offsets) from a host CSR matrix.
+
+    Pass ``offsets`` from a previous call to reuse the (sparsity-
+    determined) diagonal pattern — the values of a same-pattern matrix
+    are then mapped without re-deriving the offsets.
+    """
     A = A_csr.tocoo()
     n = A.shape[0]
     offs = A.col - A.row
-    offsets = np.unique(offs)
+    if offsets is None:
+        offsets = np.unique(offs)
+    else:
+        offsets = np.asarray(offsets)
+        assert np.isin(offs, offsets).all(), (
+            "matrix pattern changed: new diagonals not in the cached "
+            "offset set"
+        )
     if offsets.size > max_offsets:
         raise ValueError(
             f"matrix has {offsets.size} diagonals (> {max_offsets}); "
@@ -60,7 +72,7 @@ def csr_to_dia(A_csr, dtype, max_offsets=2048):
     vals = np.zeros((offsets.size, n), dtype=np.dtype(dtype))
     off_idx = np.searchsorted(offsets, offs)
     np.add.at(vals, (off_idx, A.row), A.data)
-    return op, jnp.asarray(vals)
+    return op, jnp.asarray(vals), offsets
 
 
 def rigid_body_modes(coords, nd):
@@ -173,11 +185,21 @@ class AMGPreconditioner:
             under a f64 outer CG).
         nu: damped-Jacobi smoothing sweeps (pre and post).
         coarse_n: stop coarsening below this size (dense Cholesky).
+        structure: a previous instance's ``.structure`` — reuses every
+            rho-independent piece of the setup (RCM permutations,
+            aggregations, tentative-prolongator QRs, DIA offset
+            patterns); only the value-dependent work (Galerkin
+            products, smoothing weights, coarse factor) reruns.  In a
+            topology loop the sparsity pattern and geometry are fixed,
+            so this drops the per-iteration host setup to O(nnz) numpy.
     """
+
+    #: fresh structural setups performed (test/diagnostic observability)
+    n_structure_setups = 0
 
     def __init__(self, K_csr, nd=1, coords=None, dtype=jnp.float32, nu=2,
                  coarse_n=800, max_levels=12, max_offsets=2048,
-                 smoother="chebyshev", cheb_degree=3):
+                 smoother="chebyshev", cheb_degree=3, structure=None):
         from scipy import sparse
 
         self.dtype = jnp.dtype(dtype)
@@ -187,6 +209,16 @@ class AMGPreconditioner:
         self.w_sm = []
         self.w_jac = []
         self.lam = []  # per-level rho(D^-1 A) estimate
+        fresh = structure is None
+        if fresh:
+            structure = {"levels": []}
+            AMGPreconditioner.n_structure_setups += 1
+        self.structure = structure
+
+        def slevel(li):
+            if fresh:
+                structure["levels"].append({})
+            return structure["levels"][li]
 
         def node_graph(A, nd):
             if nd == 1:
@@ -213,11 +245,17 @@ class AMGPreconditioner:
             return max(lam, 1e-12)
 
         A = K_csr.tocsr()
-        if coords is not None:
-            B = rigid_body_modes(coords, nd)
+        if fresh:
+            if coords is not None:
+                B = rigid_body_modes(coords, nd)
+            else:
+                B = np.tile(np.eye(nd), (A.shape[0] // nd, 1))
+            perm0 = expand_perm(rcm_permutation(node_graph(A, nd)), nd)
+            structure["perm0"] = perm0
+            structure["B0"] = B
         else:
-            B = np.tile(np.eye(nd), (A.shape[0] // nd, 1))
-        perm0 = expand_perm(rcm_permutation(node_graph(A, nd)), nd)
+            perm0 = structure["perm0"]
+            B = structure["B0"]
         A = A[perm0][:, perm0].tocsr()
         B = B[perm0]
         self.perm = jnp.asarray(perm0.astype(np.int32))
@@ -228,7 +266,11 @@ class AMGPreconditioner:
         levels = []
         while True:
             n = A.shape[0]
-            op, vals = csr_to_dia(A, self.dtype, max_offsets)
+            sl = slevel(len(levels))
+            op, vals, offs = csr_to_dia(
+                A, self.dtype, max_offsets, offsets=sl.get("offsets")
+            )
+            sl["offsets"] = offs
             diag = np.asarray(A.diagonal())
             inv_diag = 1.0 / np.where(diag == 0, 1.0, diag)
             lam = lam_max(A, inv_diag)
@@ -244,7 +286,9 @@ class AMGPreconditioner:
                 levels.append(level)
                 break
             m = B.shape[1]
-            agg_node, n_agg = _greedy_aggregate(node_graph(A, nd))
+            if fresh:
+                sl["agg"] = _greedy_aggregate(node_graph(A, nd))
+            agg_node, n_agg = sl["agg"]
             nc = n_agg * m
             if nc >= n:
                 level["dense"] = (
@@ -253,17 +297,20 @@ class AMGPreconditioner:
                 )
                 levels.append(level)
                 break
-            J_dof, Tv, B_c = _tentative(agg_node, nd, B, n)
-            T = sparse.csr_matrix(
-                (
-                    Tv.ravel(),
+            if fresh:
+                J_dof, Tv, B_c = _tentative(agg_node, nd, B, n)
+                T = sparse.csr_matrix(
                     (
-                        np.repeat(np.arange(n), m),
-                        (m * J_dof[:, None] + np.arange(m)).ravel(),
+                        Tv.ravel(),
+                        (
+                            np.repeat(np.arange(n), m),
+                            (m * J_dof[:, None] + np.arange(m)).ravel(),
+                        ),
                     ),
-                ),
-                shape=(n, nc),
-            )
+                    shape=(n, nc),
+                )
+                sl["tent"] = (J_dof, Tv, B_c, T)
+            J_dof, Tv, B_c, T = sl["tent"]
             D_inv = sparse.diags(inv_diag)
             P = (T - self.w_sm[-1] * (D_inv @ (A @ T))).tocsr()
             Ac = (P.T @ A @ P).tolil()
@@ -273,7 +320,11 @@ class AMGPreconditioner:
             Ac = Ac.tocsr()
             # re-band the coarse level (aggregates = coarse "nodes" with
             # m dofs each); compose the permutation into the maps
-            permc = expand_perm(rcm_permutation(node_graph(Ac, m)), m)
+            if fresh:
+                sl["permc"] = expand_perm(
+                    rcm_permutation(node_graph(Ac, m)), m
+                )
+            permc = sl["permc"]
             agg_perm = np.empty(n_agg, dtype=np.int64)
             agg_perm[permc[::m] // m] = np.arange(n_agg)
             level["J_dof"] = jnp.asarray(agg_perm[J_dof].astype(np.int32))
@@ -289,11 +340,19 @@ class AMGPreconditioner:
     # -- traced pieces ------------------------------------------------------
 
     def _params(self):
-        """Device arrays threaded as jit arguments (never constants)."""
+        """Device arrays threaded as jit arguments (never constants).
+
+        The spectral estimates (lam, w_sm, w_jac) ride along as traced
+        scalars so a value-only rebuild (topology loop) reuses the
+        compiled program instead of retracing per iteration.
+        """
         return tuple(
             (lv["vals"], lv["inv_diag"], lv.get("J_dof"), lv.get("Tv"),
-             lv.get("dense"))
-            for lv in self.levels
+             lv.get("dense"),
+             jnp.asarray(self.lam[k], self.dtype),
+             jnp.asarray(self.w_sm[k], self.dtype),
+             jnp.asarray(self.w_jac[k], self.dtype))
+            for k, lv in enumerate(self.levels)
         )
 
     def apply(self, params, r):
@@ -307,7 +366,7 @@ class AMGPreconditioner:
         if self.smoother == "chebyshev":
             return self._cheb_smooth(params, k, x, b)
         inv_diag = params[k][1]
-        w = self.w_jac[k]
+        w = params[k][7]
 
         if x0_zero and niter > 0:
             # first sweep from x = 0 is pure elementwise (skips one
@@ -325,8 +384,8 @@ class AMGPreconditioner:
         target interval [rho/30, 1.1 rho]); one matvec per degree —
         much stronger high-frequency damping than Jacobi per matvec."""
         inv_diag = params[k][1]
-        hi = 1.1 * self.lam[k]
-        lo = self.lam[k] / 30.0
+        hi = 1.1 * params[k][5]
+        lo = params[k][5] / 30.0
         theta = 0.5 * (hi + lo)
         delta = 0.5 * (hi - lo)
         sigma = theta / delta
@@ -359,11 +418,11 @@ class AMGPreconditioner:
     def _P(self, params, k, xc):
         """Smoothed prolongation: (I - w D^-1 A) T xc."""
         t = self._T(params, k, xc)
-        return t - self.w_sm[k] * (params[k][1] * self._matvec(params, k, t))
+        return t - params[k][6] * (params[k][1] * self._matvec(params, k, t))
 
     def _PT(self, params, k, r):
         """P^T r = T^T (r - w A D^-1 r)."""
-        s = r - self.w_sm[k] * self._matvec(params, k, params[k][1] * r)
+        s = r - params[k][6] * self._matvec(params, k, params[k][1] * r)
         return self._TT(params, k, s)
 
     def _cycle(self, params, k, b):
@@ -372,7 +431,7 @@ class AMGPreconditioner:
             if dense is None:
                 # smooth-to-death fallback: damped Jacobi, many sweeps
                 inv_diag = params[k][1]
-                w = self.w_jac[k]
+                w = params[k][7]
                 return jax.lax.fori_loop(
                     0, 24,
                     lambda _, x: x + w * inv_diag * (
@@ -390,24 +449,48 @@ class AMGPreconditioner:
 
 
 def amg_pcg(K_csr, b, nd=1, coords=None, dtype=None, rtol=1e-8, atol=0.0,
-            maxiter=1000, precond_dtype=None, **amg_kw):
+            maxiter=1000, precond_dtype=None, cache=None, **amg_kw):
     """AMG-preconditioned CG on device for a host-assembled CSR system.
 
     The pyamg-CG replacement for unstructured meshes
     (pyfem.py:2402-2422): host hierarchy setup, device iterations.
+
+    Args:
+        cache: optional mutable dict reused across solves on the same
+            mesh/pattern; holds the structural setup (RCM, aggregates,
+            tentative QRs, DIA offsets) *and* the compiled CG program,
+            so repeated solves (topology loops) pay only the O(nnz)
+            value update — the reference pays the full pyamg setup per
+            solve (pyfem.py:2392-2400).
 
     Returns:
         (x, iters, resnorm) in the original (unpermuted) ordering.
     """
     dtype = jnp.dtype(dtype or np.asarray(b).dtype)
     precond_dtype = precond_dtype or dtype
+    structure = cache.get("structure") if cache is not None else None
     amg = AMGPreconditioner(K_csr, nd=nd, coords=coords,
-                            dtype=precond_dtype, **amg_kw)
-    op0, vals0 = csr_to_dia(
-        K_csr[np.asarray(amg.perm)][:, np.asarray(amg.perm)].tocsr(), dtype
+                            dtype=precond_dtype, structure=structure,
+                            **amg_kw)
+    if cache is not None:
+        cache["structure"] = amg.structure
+    op0, vals0, offs0 = csr_to_dia(
+        K_csr[np.asarray(amg.perm)][:, np.asarray(amg.perm)].tocsr(),
+        dtype,
+        offsets=cache.get("offsets0") if cache is not None else None,
     )
+    if cache is not None:
+        cache["offsets0"] = offs0
     params = amg._params()
     rdtype = jnp.float64 if dtype == jnp.float64 else dtype
+
+    run_key = (int(maxiter), str(dtype), str(precond_dtype))
+    if cache is not None and cache.get("run_key") == run_key:
+        run = cache["run"]
+        bp = jnp.take(jnp.asarray(b, dtype), amg.perm, axis=0)
+        x, k, rn = run(vals0, params, bp, jnp.asarray(rtol, rdtype),
+                       jnp.asarray(atol, rdtype))
+        return jnp.take(x, amg.iperm, axis=0), k, rn
 
     @jax.jit
     def run(vals0, params, bp, rtol, atol):
@@ -441,6 +524,8 @@ def amg_pcg(K_csr, b, nd=1, coords=None, dtype=None, rtol=1e-8, atol=0.0,
         x, r, *_, k = jax.lax.while_loop(cond, body, (x0, r, z, p, rz, 0))
         return x, k, jnp.sqrt(jnp.vdot(r, r).real)
 
+    if cache is not None:
+        cache["run"], cache["run_key"] = run, run_key
     bp = jnp.take(jnp.asarray(b, dtype), amg.perm, axis=0)
     x, k, rn = run(vals0, params, bp, jnp.asarray(rtol, rdtype),
                    jnp.asarray(atol, rdtype))

@@ -78,3 +78,30 @@ def test_fix_orientation_tri():
     assert list(fixed[0]) == [0, 1, 2]
     fixed2, n2 = fem.fix_orientation(fixed, X)
     assert n2 == 0
+
+
+def test_amg_setup_cached_across_solves():
+    """Second amg solve on the same model reuses the structural setup
+    (RCM, aggregation, tentative QRs) and the compiled program — only
+    the values change (the reference redoes the full pyamg setup per
+    solve, pyfem.py:2392-2400)."""
+    model, X = _arm_model(nr=8, nt=48)
+    model.p = 3.0
+    rng = np.random.RandomState(0)
+    rho1 = jnp.asarray(0.4 + 0.6 * rng.rand(model.nnodes))
+    rho2 = jnp.asarray(0.4 + 0.6 * rng.rand(model.nnodes))
+
+    n0 = unstructured.AMGPreconditioner.n_structure_setups
+    u1 = np.asarray(model.solve(method="amg", rho=rho1, rtol=1e-9))
+    assert unstructured.AMGPreconditioner.n_structure_setups == n0 + 1
+    run1 = model._amg_cache.get("run")
+    u2 = np.asarray(model.solve(method="amg", rho=rho2, rtol=1e-9))
+    # no new structural setup, same compiled program object
+    assert unstructured.AMGPreconditioner.n_structure_setups == n0 + 1
+    assert model._amg_cache.get("run") is run1
+
+    # and the cached-path solutions still match the direct solver
+    for rho, u in [(rho1, u1), (rho2, u2)]:
+        u_dir = np.asarray(model.solve(method="direct", rho=rho))
+        rel = np.linalg.norm(u - u_dir) / np.linalg.norm(u_dir)
+        assert rel < 1e-7, rel
