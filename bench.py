@@ -91,23 +91,99 @@ def run_3d(args, log):
         f"pipelined={elapsed:.4f}s/solve")
     print(json.dumps({
         "metric": (
-            f"3D hex8 elasticity assembly+CG time-to-solution, "
-            f"{model.ndof} dof, {args.dtype}, rtol={args.rtol}, gmg-pcg"
+            f"3D hex8 elasticity assembly+CG time-to-solution "
+            f"(single-shot), {model.ndof} dof, {args.dtype}, "
+            f"rtol={args.rtol}, gmg-pcg"
         ),
-        "value": round(elapsed, 4),
+        "value": round(single, 4),
         "unit": "s",
-        "vs_baseline": round(5.0 / elapsed, 3),
+        "vs_baseline": round(5.0 / single, 3),
         "cg_iters": int(k),
         "resnorm": float(rn),
-        "single_shot_s": round(single, 4),
+        "pipelined_s": round(elapsed, 4),
+    }))
+
+
+def run_topo(args, log):
+    """Topology optimization at >= 0.5M dof: s per MMA iteration.
+
+    The reference's flagship workload (200 ParOpt-MMA iterations of
+    Helmholtz-filtered RAMP compliance,
+    examples/topology_optimization/topo.py:176-189).  Runs the fused
+    device loop (opt.topo_device): one jitted program per iteration —
+    filter PCG, GMG assembly, V-cycle-PCG state solve, adjoint einsum,
+    filter^T PCG, device MMA update.
+    """
+    import jax
+    import jax.numpy as jnp
+    import pyfem_gpu_testflight_tpu as fem
+    from pyfem_gpu_testflight_tpu.opt import DeviceTopo
+
+    nx, ny = args.nx, args.ny
+    dtype = jnp.dtype(args.dtype)
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny,
+                                 element_type="quad")
+    conn, X, dof_fixed, nodal_force = (
+        creator.create_linear_elasticity_problem()
+    )
+    model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                 nodal_force, p=3.0, dtype=dtype)
+    log(f"topo: state ndof={model.ndof} design nvars={model.nnodes}")
+    sm_dtype = jnp.bfloat16 if args.smoother_dtype == "bfloat16" else None
+    pal = args.pallas_smooth and jax.default_backend() != "cpu"
+    model.attach_structured_grid(
+        nx, ny, nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
+        smoother_dtype=sm_dtype, pallas_smooth=pal,
+        pallas_ty=args.pallas_ty, pallas_min=args.pallas_min,
+    )
+    filtr = fem.Helmholtz(args.r0, "quad4", np.asarray(X), conn,
+                          dtype=dtype, rtol=1e-6)
+    filtr.attach_structured_grid(nx, ny)
+    dev = DeviceTopo(model, filtr, fixed_volume=0.4, rtol=args.rtol,
+                     maxiter=args.maxiter)
+
+    log("[topo] compiling (2-iteration warmup)...")
+    t0 = time.time()
+    dev.optimize(max_iterations=2, verbose=False, log_every=2)
+    log(f"[topo] compile+warmup: {time.time()-t0:.1f}s")
+
+    dev.history.clear()
+    x, rho = dev.optimize(max_iterations=args.topo_iters, verbose=False,
+                          log_every=args.topo_iters)
+    h0, h1 = dev.history[0], dev.history[-1]
+    vol = float(model.volume(rho))
+    log(f"[topo] {args.topo_iters} iters in {dev.elapsed:.2f}s "
+        f"({dev.s_per_iter:.4f} s/iter); compliance "
+        f"{h0['obj']:.4f} -> {h1['obj']:.4f}, volume {vol:.4f}")
+    print(json.dumps({
+        "metric": (
+            f"SIMP topology optimization s/MMA-iteration (fused device "
+            f"loop), {model.ndof} state dof, {model.nnodes} design "
+            f"vars, {args.dtype}, gmg-pcg rtol={args.rtol}"
+        ),
+        "value": round(dev.s_per_iter, 4),
+        "unit": "s/iter",
+        # baseline: round-1 host-bound loop measured 8.6 s/iter (at
+        # 16k dof; the reference's ParOpt loop is host-bound the same
+        # way — no published number exists, BASELINE.md)
+        "vs_baseline": round(8.6 / dev.s_per_iter, 3),
+        "iters": args.topo_iters,
+        "compliance_first": h0["obj"],
+        "compliance_last": h1["obj"],
+        "volume": vol,
+        "cg_iters_last": h1["cg_iters"],
     }))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["2d", "3d"], default="2d")
+    ap.add_argument("--config", choices=["2d", "3d", "topo"], default="2d")
     ap.add_argument("--n3d", type=int, default=65,
                     help="3D config: nodes per axis")
+    ap.add_argument("--topo-iters", dest="topo_iters", type=int,
+                    default=20, help="timed MMA iterations (topo config)")
+    ap.add_argument("--r0", type=float, default=0.01,
+                    help="Helmholtz filter radius (topo config)")
     ap.add_argument("--nx", type=int, default=1025)
     ap.add_argument("--ny", type=int, default=513)
     ap.add_argument("--dtype", type=str, default="float32")
@@ -160,6 +236,9 @@ def main():
 
     if args.config == "3d":
         run_3d(args, log)
+        return
+    if args.config == "topo":
+        run_topo(args, log)
         return
 
     log(f"devices: {jax.devices()}")
@@ -357,16 +436,20 @@ def main():
     mode = (
         "mixed-f64/f32" if args.accuracy else args.dtype
     )
+    # headline = honest single-solve latency (dispatch included);
+    # pipelined throughput (chained solves, the hardware number) is the
+    # labeled extra
     result = {
         "metric": (
-            f"plane-stress assembly+CG time-to-solution, "
+            f"plane-stress assembly+CG time-to-solution (single-shot), "
             f"{ndof} dof, {mode}, rtol={rtol}, {args.precond}-pcg"
         ),
-        "value": round(elapsed, 4),
+        "value": round(single, 4),
         "unit": "s",
-        "vs_baseline": round(5.0 / elapsed, 3),
+        "vs_baseline": round(5.0 / single, 3),
         "cg_iters": int(iters),
         "resnorm": float(resnorm),
+        "pipelined_s": round(elapsed, 4),
         **extra,
     }
     print(json.dumps(result))

@@ -80,14 +80,22 @@ def _solve_dual_x(lam, p0, q0, P, Q, L, U, alpha, beta):
     return np.clip(x, alpha, beta)
 
 
-def _make_device_update(asy_grow, asy_shrink, albefa, move):
-    """Jitted single-constraint MMA update (asymptotes + dual bisection).
+def device_update_body(x, xold1, xold2, low, upp, g, dc, ci, lb, ub, k,
+                       *, asy_grow=1.2, asy_shrink=0.7, albefa=0.1,
+                       move=0.2):
+    """Traceable single-constraint MMA update (asymptotes + dual
+    bisection) — same math as the NumPy path (gated by a test).
 
     The NumPy subproblem dominated topology-optimization iterations on
     the throttled host core (NOTES.md round 1: 8.6 s/iter at 16k dofs
     with the TPU idle); this runs the whole design update as one XLA
-    program — elementwise (n,) arrays plus a scalar bisection, ideal
-    for the VPU.  Same math as the NumPy path (gated by a test).
+    trace — elementwise (n,) arrays plus a scalar bisection, ideal for
+    the VPU.  Usable standalone (jitted by :func:`_make_device_update`)
+    or inline inside a larger program (opt.topo_device fuses it with
+    the state solve + filter into one iteration kernel).
+
+    Returns:
+        (x_new, low, upp, lam, step).
     """
     import jax
     import jax.numpy as jnp
@@ -100,62 +108,70 @@ def _make_device_update(asy_grow, asy_shrink, albefa, move):
         x = (sp * L + sq * U) / jnp.maximum(sp + sq, 1e-300)
         return jnp.clip(x, alpha, beta)
 
-    @jax.jit
-    def update(x, xold1, xold2, low, upp, g, dc, ci, lb, ub, k):
-        rng = ub - lb
-        sign = (x - xold1) * (xold1 - xold2)
-        fac = jnp.where(sign > 0, asy_grow,
-                        jnp.where(sign < 0, asy_shrink, 1.0))
-        low2 = jnp.clip(x - fac * (xold1 - low),
-                        x - 10.0 * rng, x - 0.01 * rng)
-        upp2 = jnp.clip(x + fac * (upp - xold1),
-                        x + 0.01 * rng, x + 10.0 * rng)
-        low = jnp.where(k >= 2, low2, low)
-        upp = jnp.where(k >= 2, upp2, upp)
+    rng = ub - lb
+    sign = (x - xold1) * (xold1 - xold2)
+    fac = jnp.where(sign > 0, asy_grow,
+                    jnp.where(sign < 0, asy_shrink, 1.0))
+    low2 = jnp.clip(x - fac * (xold1 - low),
+                    x - 10.0 * rng, x - 0.01 * rng)
+    upp2 = jnp.clip(x + fac * (upp - xold1),
+                    x + 0.01 * rng, x + 10.0 * rng)
+    low = jnp.where(k >= 2, low2, low)
+    upp = jnp.where(k >= 2, upp2, upp)
 
-        alpha = jnp.maximum(
-            jnp.maximum(lb, low + albefa * (x - low)), x - move * rng
-        )
-        beta = jnp.minimum(
-            jnp.minimum(ub, upp - albefa * (upp - x)), x + move * rng
-        )
+    alpha = jnp.maximum(
+        jnp.maximum(lb, low + albefa * (x - low)), x - move * rng
+    )
+    beta = jnp.minimum(
+        jnp.minimum(ub, upp - albefa * (upp - x)), x + move * rng
+    )
 
-        eps0 = 1e-5
-        Umx = upp - x
-        xmL = x - low
-        p0 = Umx**2 * (jnp.maximum(g, 0.0) + 1e-3 * jnp.abs(g) + eps0 / rng)
-        q0 = xmL**2 * (jnp.maximum(-g, 0.0) + 1e-3 * jnp.abs(g) + eps0 / rng)
-        P1 = Umx**2 * jnp.maximum(dc, 0.0)
-        Q1 = xmL**2 * jnp.maximum(-dc, 0.0)
-        ri = ci - jnp.sum(P1 / Umx + Q1 / xmL)
+    eps0 = 1e-5
+    Umx = upp - x
+    xmL = x - low
+    p0 = Umx**2 * (jnp.maximum(g, 0.0) + 1e-3 * jnp.abs(g) + eps0 / rng)
+    q0 = xmL**2 * (jnp.maximum(-g, 0.0) + 1e-3 * jnp.abs(g) + eps0 / rng)
+    P1 = Umx**2 * jnp.maximum(dc, 0.0)
+    Q1 = xmL**2 * jnp.maximum(-dc, 0.0)
+    ri = ci - jnp.sum(P1 / Umx + Q1 / xmL)
 
-        def con_value(lam):
-            xs = solve_x(lam, p0, q0, P1, Q1, low, upp, alpha, beta)
-            return ri + jnp.sum(P1 / (upp - xs) + Q1 / (xs - low))
+    def con_value(lam):
+        xs = solve_x(lam, p0, q0, P1, Q1, low, upp, alpha, beta)
+        return ri + jnp.sum(P1 / (upp - xs) + Q1 / (xs - low))
 
-        c0 = con_value(0.0)
+    c0 = con_value(0.0)
 
-        def bracket_cond(hi):
-            return (con_value(hi) > 0.0) & (hi < 1e12)
+    def bracket_cond(hi):
+        return (con_value(hi) > 0.0) & (hi < 1e12)
 
-        hi = jax.lax.while_loop(bracket_cond, lambda h: h * 10.0,
-                                jnp.asarray(1.0, x.dtype))
+    hi = jax.lax.while_loop(bracket_cond, lambda h: h * 10.0,
+                            jnp.asarray(1.0, x.dtype))
 
-        def bisect(_, lohi):
-            lo_b, hi_b = lohi
-            mid = 0.5 * (lo_b + hi_b)
-            gt = con_value(mid) > 0.0
-            return (jnp.where(gt, mid, lo_b), jnp.where(gt, hi_b, mid))
+    def bisect(_, lohi):
+        lo_b, hi_b = lohi
+        mid = 0.5 * (lo_b + hi_b)
+        gt = con_value(mid) > 0.0
+        return (jnp.where(gt, mid, lo_b), jnp.where(gt, hi_b, mid))
 
-        lo_b, hi_b = jax.lax.fori_loop(
-            0, 60, bisect, (jnp.asarray(0.0, x.dtype), hi)
-        )
-        lam = jnp.where(c0 <= 0.0, 0.0, 0.5 * (lo_b + hi_b))
-        x_new = solve_x(lam, p0, q0, P1, Q1, low, upp, alpha, beta)
-        step = jnp.max(jnp.abs(x_new - x))
-        return x_new, low, upp, lam, step
+    lo_b, hi_b = jax.lax.fori_loop(
+        0, 60, bisect, (jnp.asarray(0.0, x.dtype), hi)
+    )
+    lam = jnp.where(c0 <= 0.0, 0.0, 0.5 * (lo_b + hi_b))
+    x_new = solve_x(lam, p0, q0, P1, Q1, low, upp, alpha, beta)
+    step = jnp.max(jnp.abs(x_new - x))
+    return x_new, low, upp, lam, step
 
-    return update
+
+def _make_device_update(asy_grow, asy_shrink, albefa, move):
+    """Jitted wrapper of :func:`device_update_body`."""
+    import functools
+
+    import jax
+
+    return jax.jit(functools.partial(
+        device_update_body, asy_grow=asy_grow, asy_shrink=asy_shrink,
+        albefa=albefa, move=move,
+    ))
 
 
 class MMA:

@@ -41,6 +41,7 @@ class TopoProblem(Problem):
         save_history=False,
         save_history_every=10,
         prefix=".",
+        rho_floor=None,
     ):
         super().__init__(model.nnodes, ncon=1)
         self.model = model
@@ -49,6 +50,13 @@ class TopoProblem(Problem):
         self.x_init = x_init
         self.lb = lb
         self.ub = ub
+        # the Helmholtz filter undershoots near sharp 0/1 contrast
+        # (measured rho down to -0.02 on converging designs); negative
+        # RAMP stiffness makes K indefinite and kills PCG.  The *state
+        # solve* uses max(rho, rho_floor) with an exact chain-rule mask
+        # in the gradient; the volume constraint keeps the raw filtered
+        # field (reference convention).
+        self.rho_floor = float(lb if rho_floor is None else rho_floor)
         self.solver = solver
         self.save_history = save_history
         self.save_history_every = int(save_history_every)
@@ -62,18 +70,28 @@ class TopoProblem(Problem):
         ub[:] = self.ub
 
     def evalObjCon(self, x):
+        import jax.numpy as jnp
+
         rho = self.filtr.apply(x)
+        rho_c = jnp.maximum(rho, self.rho_floor)
         if self.save_history and self.counter % self.save_history_every == 0:
             self._save_design(rho)
         self.counter += 1
-        obj, self.u = self.model.compliance(rho, solver=self.solver)
+        obj, self.u = self.model.compliance(rho_c, solver=self.solver)
         con = [self.fixed_volume - float(self.model.volume(rho))]
         return 0, float(obj), con
 
     def evalObjConGradient(self, x, g, A):
+        import jax.numpy as jnp
+
         rho = self.filtr.apply(x)
+        rho_c = jnp.maximum(rho, self.rho_floor)
+        live = rho > self.rho_floor  # d rho_c / d rho (0 where clamped)
         g[:] = np.asarray(
-            self.filtr.apply_gradient(self.model.compliance_grad(rho, self.u))
+            self.filtr.apply_gradient(
+                jnp.where(live, self.model.compliance_grad(rho_c, self.u),
+                          0.0)
+            )
         )
         A[0][:] = -np.asarray(
             self.filtr.apply_gradient(self.model.volume_grad(rho))

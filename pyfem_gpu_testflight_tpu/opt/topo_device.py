@@ -1,0 +1,208 @@
+"""Fully-fused on-device topology optimization.
+
+The reference's flagship workload is 200 MMA iterations of
+Helmholtz-filtered RAMP compliance minimization
+(examples/topology_optimization/topo.py:176-189), crossing the
+Python <-> C++ (ParOpt) boundary twice per iteration with full design
+vectors.  The host-callback structure survives in ``opt.topo``
+(ParOpt-contract parity); this module is the TPU-native form: one
+jitted program per MMA iteration containing
+
+    filter fwd (stencil PCG)  ->  GMG hierarchy assembly  ->
+    V-cycle-PCG state solve   ->  adjoint sensitivity einsum ->
+    filter bwd (stencil PCG)  ->  MMA asymptote/dual update
+
+so a design iteration is a single device dispatch — no design-sized
+host transfers, no per-op tunnel round trips (round 1 measured
+8.6 s/iter host-bound at 16k dof; round 2's jit-cached host loop did
+0.47 s/iter; this path is one dispatch).  Iterations stream
+asynchronously; the host syncs only at logging points.
+
+Iterate-for-iterate equivalent to ``TopoProblem`` + ``MMA`` driving the
+same solver (gated by tests/test_topo_device.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .mma import device_update_body
+
+__all__ = ["DeviceTopo"]
+
+
+class DeviceTopo:
+    """One-dispatch-per-iteration MMA compliance topology optimization.
+
+    Args:
+        model: LinearElasticity/LinearPoisson with
+            ``attach_structured_grid`` already called (the GMG fast
+            path assembles the state operator from rho in-trace).
+        filtr: Helmholtz filter with ``attach_structured_grid`` already
+            called (stencil PCG apply/apply_gradient).
+        fixed_volume: volume-fraction bound (con = V - vol >= 0).
+        rtol/maxiter: state-solve PCG controls.
+        x_init, lb, ub: design initialization and bounds.
+        mma_options: asymptote/move constants (see opt.mma.MMA).
+    """
+
+    def __init__(self, model, filtr, fixed_volume=0.4, x_init=0.95,
+                 lb=1e-3, ub=1.0, rtol=1e-6, maxiter=200,
+                 mma_options=None, rho_floor=None):
+        assert getattr(model, "_gmg_asm", None) is not None, (
+            "call model.attach_structured_grid(...) first"
+        )
+        assert getattr(filtr, "_st", None) is not None, (
+            "call filtr.attach_structured_grid(...) first"
+        )
+        from ..ops.dia import interleave_to_planar, planar_to_interleave
+        from .. import multigrid
+
+        self.model = model
+        self.filtr = filtr
+        self.fixed_volume = float(fixed_volume)
+        self.dtype = model.dtype
+        self.history = []
+        o = dict(mma_options or {})
+        upd_kw = dict(
+            asy_grow=float(o.get("asymptote_grow", 1.2)),
+            asy_shrink=float(o.get("asymptote_shrink", 0.7)),
+            albefa=float(o.get("albefa", 0.1)),
+            move=float(o.get("move_limit", 0.2)),
+        )
+        self.asy_init = float(o.get("asymptote_init", 0.5))
+
+        nd = model.ndof_per_node
+        shape = model._gmg_shape
+        asm = model._gmg_asm
+        st = filtr._st
+        fshape = filtr._st_shape
+        nnodes = model.nnodes
+        frtol, fmax = filtr.rtol, 10 * filtr.ndof
+        flexible = getattr(asm, "smoother_dtype", None) is not None or (
+            getattr(asm, "pallas_smooth", False)
+        )
+
+        def filt_fwd(coeffK, coeffR, invd, x):
+            b = st.matvec(coeffR, x.reshape((1,) + fshape))
+            z, _, _ = multigrid.pcg(
+                lambda u: st.matvec(coeffK, u), lambda r: invd * r, b,
+                rtol=frtol, maxiter=fmax,
+            )
+            return z.reshape(-1)
+
+        def filt_bwd(coeffK, coeffR, invd, g):
+            z, _, _ = multigrid.pcg(
+                lambda u: st.matvec(coeffK, u), lambda r: invd * r,
+                g.reshape((1,) + fshape), rtol=frtol, maxiter=fmax,
+            )
+            return st.matvec(coeffR, z).reshape(-1)
+
+        # filter-undershoot guard for the state solve (see
+        # opt.topo.TopoProblem.rho_floor): clamp with an exact
+        # chain-rule mask; the volume constraint keeps the raw field
+        rho_floor = float(lb if rho_floor is None else rho_floor)
+
+        def step(x, xold1, xold2, low, upp, k, lb_v, ub_v, rhs_il,
+                 coeffK, coeffR, finvd, dci_vec):
+            rho_raw = filt_fwd(coeffK, coeffR, finvd, x)
+            rho = jnp.maximum(rho_raw, rho_floor)
+            gmg, lv0 = asm.assemble(rho)
+            b = jnp.where(
+                lv0.mask, 0.0,
+                interleave_to_planar(rhs_il, nd).reshape((nd,) + shape),
+            )
+            u, it, rn = multigrid.pcg(
+                lv0.matvec, gmg.apply, b, rtol=rtol, maxiter=maxiter,
+                flexible=flexible,
+            )
+            u_il = planar_to_interleave(u.reshape(-1), nd)
+            b_il = planar_to_interleave(b.reshape(-1), nd)
+            obj = jnp.vdot(b_il, u_il)
+            dc = -model.k_dv_sens(rho, u_il, u_il)
+            dc = jnp.where(rho_raw > rho_floor, dc, 0.0)
+            g = filt_bwd(coeffK, coeffR, finvd, dc)
+            vol = jnp.sum(rho_raw) / nnodes
+            con = self.fixed_volume - vol
+            x_new, low, upp, lam, step_sz = device_update_body(
+                x, xold1, xold2, low, upp, g, dci_vec, -con, lb_v, ub_v,
+                k, **upd_kw,
+            )
+            return (x_new, x, xold1, low, upp, obj, con, it, rn,
+                    jnp.linalg.norm(b_il), step_sz)
+
+        self._step = jax.jit(step)
+
+        # static per-run arrays
+        self._rhs_il = jnp.asarray(model.compute_rhs(), self.dtype)
+        self._fargs = (filtr._coeffK, filtr._coeffR, filtr._st_inv_diag)
+        # the volume-constraint gradient chain is design-independent:
+        # dci = +filter^T(dvol) (see MMA.optimize's ci/dci signs)
+        self._dci = filt_bwd(
+            *self._fargs,
+            jnp.full((nnodes,), 1.0 / nnodes, self.dtype),
+        )
+        self._rtol = float(rtol)
+        self.x_init, self.lb, self.ub = x_init, float(lb), float(ub)
+
+    def optimize(self, max_iterations=200, verbose=True, log_every=10,
+                 callback=None):
+        """Run the loop; host syncs only every ``log_every`` iterations.
+
+        Returns:
+            (x, rho): final raw and filtered densities (device arrays).
+        """
+        from .. import multigrid
+        from ..models.base import _check_converged
+
+        n = self.model.nnodes
+        dt = self.dtype
+        lb_v = jnp.full((n,), self.lb, dt)
+        ub_v = jnp.full((n,), self.ub, dt)
+        x = jnp.full((n,), self.x_init, dt)
+        x = jnp.clip(x, lb_v, ub_v)
+        xold1 = xold2 = x
+        rng = ub_v - lb_v
+        low = x - self.asy_init * rng
+        upp = x + self.asy_init * rng
+
+        pending = []  # (iter, obj, con, it, rn, bnorm, step) device scalars
+
+        def drain():
+            for (k, obj, con, it, rn, bnorm, stp) in pending:
+                _check_converged("gmg-pcg(topo)", rn,
+                                 self._rtol * float(bnorm), it)
+                rec = {"iter": int(k), "obj": float(obj),
+                       "con": [float(con)], "step": float(stp),
+                       "cg_iters": int(it)}
+                self.history.append(rec)
+                if verbose:
+                    print(f"[topo-dev] {rec['iter']:4d} "
+                          f"obj {rec['obj']: .8e} con {float(con): .3e} "
+                          f"cg {rec['cg_iters']:3d} step {rec['step']:.3e}")
+                if callback is not None:
+                    callback(rec)
+            pending.clear()
+
+        t0 = time.time()
+        for k in range(max_iterations):
+            (x, xold1, xold2, low, upp, obj, con, it, rn, bnorm,
+             stp) = self._step(
+                x, xold1, xold2, low, upp, k, lb_v, ub_v, self._rhs_il,
+                *self._fargs, self._dci,
+            )
+            pending.append((k, obj, con, it, rn, bnorm, stp))
+            if (k + 1) % log_every == 0 or k + 1 == max_iterations:
+                drain()
+        x.block_until_ready()
+        self.elapsed = time.time() - t0
+        self.s_per_iter = self.elapsed / max_iterations
+        rho = self._filter_apply(x)
+        return x, rho
+
+    def _filter_apply(self, x):
+        return self.filtr.apply(x)

@@ -1,0 +1,64 @@
+"""Fused device topology-optimization loop vs the host MMA driver.
+
+DeviceTopo runs filter -> GMG assembly -> PCG -> adjoint -> filter^T ->
+MMA update as one jitted program per iteration; it must produce the
+same iterates as TopoProblem + MMA driving the same gmg solver
+(reference workload: examples/topology_optimization/topo.py:176-189).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pyfem_gpu_testflight_tpu as fem
+from pyfem_gpu_testflight_tpu.opt import MMA, TopoProblem, DeviceTopo
+
+
+def _setup(nx=33, ny=17, dtype=jnp.float64):
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny,
+                                 element_type="quad")
+    conn, X, dof_fixed, nodal_force = (
+        creator.create_linear_elasticity_problem()
+    )
+    model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                 nodal_force, p=3.0, dtype=dtype)
+    model.attach_structured_grid(nx, ny)
+    filtr = fem.Helmholtz(0.02, "quad4", X, conn, dtype=dtype)
+    filtr.attach_structured_grid(nx, ny)
+    return model, filtr
+
+
+def test_device_topo_matches_host_mma():
+    model, filtr = _setup()
+    niter = 5
+
+    # host loop (ParOpt-contract path) on the same gmg solver
+    prob = TopoProblem(model, filtr, fixed_volume=0.4, solver="gmg")
+    opt = MMA(prob, {"max_iterations": niter, "verbose": False})
+    x_host = np.asarray(opt.optimize())
+
+    dev = DeviceTopo(model, filtr, fixed_volume=0.4, rtol=1e-8)
+    x_dev, rho_dev = dev.optimize(max_iterations=niter, verbose=False,
+                                  log_every=2)
+    x_dev = np.asarray(x_dev)
+
+    # identical MMA math; differences only from PCG tolerances
+    assert np.linalg.norm(x_dev - x_host) / np.linalg.norm(x_host) < 1e-5
+    objs = [h["obj"] for h in dev.history]
+    assert len(objs) == niter
+    assert all(np.isfinite(o) for o in objs)
+    # history matches the host driver's (obj rises early on: the
+    # volume constraint pulls material out of the solid start)
+    objs_host = [h["obj"] for h in opt.history]
+    np.testing.assert_allclose(objs, objs_host, rtol=1e-6)
+
+
+def test_device_topo_constraint_satisfied():
+    model, filtr = _setup(nx=17, ny=9)
+    dev = DeviceTopo(model, filtr, fixed_volume=0.4, rtol=1e-9)
+    x, rho = dev.optimize(max_iterations=25, verbose=False, log_every=25)
+    vol = float(model.volume(rho))
+    assert vol <= 0.4 + 5e-3, vol
+    # compliance decreases once the volume constraint is met
+    objs = [h["obj"] for h in dev.history]
+    assert objs[-1] < max(objs)
+    assert all(np.isfinite(o) for o in objs)
