@@ -19,17 +19,18 @@ import pyfem_gpu_testflight_tpu as fem
 from pyfem_gpu_testflight_tpu.ops import geometry, stiffness
 
 
-def build(n, problem, dtype):
+def build(n, problem, dtype, kernel="einsum"):
     creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
                                  element_type="block")
     conn, X, dof_fixed = creator.create_poisson_problem()
     if problem == "elasticity":
         model = fem.LinearElasticity("hex8", X, conn, [], None, {},
-                                     dtype=dtype)
+                                     dtype=dtype, kernel=kernel)
     elif problem == "helmholtz":
         model = fem.Helmholtz(0.05, "hex8", X, conn, dtype=dtype)
     else:
-        model = fem.LinearPoisson("hex8", X, conn, [], dtype=dtype)
+        model = fem.LinearPoisson("hex8", X, conn, [], dtype=dtype,
+                                  kernel=kernel)
     return model
 
 
@@ -40,13 +41,18 @@ def main():
                    default=["poisson", "helmholtz", "elasticity"])
     p.add_argument("--dtype", default="float32")
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--kernel", choices=["einsum", "pallas"],
+                   default="einsum",
+                   help="model-level element kernel (pallas = the hex8 "
+                        "TPU kernels, the A2DWrapper role)")
     args = p.parse_args()
 
     dtype = jnp.dtype(args.dtype)
     rows = []
     for problem in args.problems:
         for n in args.sizes:
-            model = build(n, problem, dtype)
+            kern = args.kernel if problem != "helmholtz" else "einsum"
+            model = build(n, problem, dtype, kernel=kern)
             rho = jnp.ones((model.nnodes,), dtype=dtype)
 
             if problem == "helmholtz":
@@ -70,7 +76,7 @@ def main():
             dt = (time.time() - t0) / args.repeats
             ndof = model.ndof
             rows.append(
-                {"problem": problem, "n": n, "ndof": ndof,
+                {"problem": problem, "kernel": kern, "n": n, "ndof": ndof,
                  "nelems": model.nelems, "t_ke_s": round(dt, 6),
                  "elems_per_s": round(model.nelems / dt, 1)}
             )
