@@ -206,56 +206,89 @@ class FEModel:
         self._gmg_shape = (nz, ny, nx)
         return self
 
-    def attach_sharded_grid(self, mesh, nnodes_x, nnodes_y, **gmg_options):
-        """Enable the multi-device sharded GMG solve path (2D).
+    def attach_sharded_grid(self, mesh, nnodes_x, nnodes_y, nnodes_z=None,
+                            **gmg_options):
+        """Enable the multi-device sharded GMG solve path (2D quad4 or
+        3D hex8 structured grids).
 
         Shards the flagship GMG-PCG solver over ``mesh`` (node planes
-        block-partitioned along y, halo exchange via ppermute — see
-        parallel.sharded_gmg); afterwards ``solve(method="sharded_gmg")``
-        / ``compliance(solver="sharded_gmg")`` run the SPMD program.
-        Requires homogeneous (zero-valued) Dirichlet data.
+        block-partitioned along the leading axis, halo exchange via
+        ppermute — see parallel.sharded_gmg); afterwards
+        ``solve(method="sharded_gmg")`` /
+        ``compliance(solver="sharded_gmg")`` run the SPMD program.
+        Nonzero Dirichlet values are applied through a rhs lift; pass
+        ``pallas_smooth=True`` (with optional ``smoother_dtype``) to run
+        the fused Pallas sweep kernels on the per-device blocks.
         """
-        from ..parallel.sharded_gmg import ShardedGMG2D
+        from ..parallel.sharded_gmg import ShardedGMG2D, ShardedGMG3D
 
-        assert self.etype.name == "quad4", "sharded gmg requires quad4"
-        assert not np.asarray(self.bc.values).any(), (
-            "sharded gmg path supports zero Dirichlet values only"
-        )
         nd = self.ndof_per_node
-        nx, ny = int(nnodes_x), int(nnodes_y)
-        assert nx * ny == self.nnodes
+        X = self.X_host
+        if nnodes_z is None:
+            assert self.etype.name == "quad4", (
+                "2D sharded gmg requires quad4 grids"
+            )
+            nx, ny = int(nnodes_x), int(nnodes_y)
+            assert nx * ny == self.nnodes
+            fine_mask = (
+                np.asarray(self.bc.mask)
+                .reshape(ny * nx, nd).T.reshape(nd, ny, nx)
+            )
+            physics = "elasticity" if nd == 2 else "poisson"
+            kw = dict(p=self.p, dtype=self.dtype, fine_mask=fine_mask)
+            if physics == "elasticity":
+                kw.update(E=self.E, nu=self.nu)
+            kw.update(gmg_options)
+            self._sgmg = ShardedGMG2D(
+                mesh, nx, ny, float(X[:, 0].max()), float(X[:, 1].max()),
+                physics, **kw
+            )
+            self._sgmg_shape = (ny, nx)
+            return self
+        assert self.etype.name == "hex8", "3D sharded gmg requires hex8"
+        nx, ny, nz = int(nnodes_x), int(nnodes_y), int(nnodes_z)
+        assert nx * ny * nz == self.nnodes
         fine_mask = (
-            np.asarray(self.bc.mask).reshape(ny * nx, nd).T.reshape(nd, ny, nx)
+            np.asarray(self.bc.mask)
+            .reshape(nz * ny * nx, nd).T.reshape(nd, nz, ny, nx)
         )
-        physics = "elasticity" if nd == 2 else "poisson"
+        physics = "elasticity" if nd == 3 else "poisson"
         kw = dict(p=self.p, dtype=self.dtype, fine_mask=fine_mask)
         if physics == "elasticity":
             kw.update(E=self.E, nu=self.nu)
         kw.update(gmg_options)
-        X = self.X_host
-        self._sgmg = ShardedGMG2D(
-            mesh, nx, ny, float(X[:, 0].max()), float(X[:, 1].max()),
-            physics, **kw
+        self._sgmg = ShardedGMG3D(
+            mesh, nx, ny, nz, float(X[:, 0].max()), float(X[:, 1].max()),
+            float(X[:, 2].max()), physics, **kw
         )
-        self._sgmg_shape = (ny, nx)
+        self._sgmg_shape = (nz, ny, nx)
         return self
 
     def _solve_sharded_gmg(self, rho, rhs, rtol=1e-8, maxiter=400):
         from ..ops.dia import interleave_to_planar, planar_to_interleave
 
         nd = self.ndof_per_node
+        shape = self._sgmg_shape
         b = interleave_to_planar(
             jnp.asarray(rhs, self.dtype), nd
-        ).reshape((nd,) + self._sgmg_shape)
-        x, k, rn = self._sgmg.solve(self._as_nodal(rho), b, rtol=rtol,
-                                    maxiter=maxiter)
-        bz = jnp.where(
-            jnp.asarray(self._sgmg.asm.static_levels[0][3]), 0.0, b
+        ).reshape((nd,) + shape)
+        vals = None
+        if bool(np.any(np.asarray(self.bc.values))):
+            vals = interleave_to_planar(
+                self.bc.values.astype(self.dtype), nd
+            ).reshape((nd,) + shape)
+        x, k, rn, b_out = self._sgmg.solve(
+            self._as_nodal(rho), b, rtol=rtol, maxiter=maxiter,
+            vals=vals, return_rhs=True,
         )
         _check_converged("sharded-gmg-pcg", rn,
-                         rtol * float(jnp.linalg.norm(bz)), k)
+                         rtol * float(jnp.linalg.norm(
+                             jnp.where(jnp.asarray(
+                                 self._sgmg.asm.static_levels[0][3]
+                             ), 0.0, b_out)
+                         )), k)
         return (planar_to_interleave(x.reshape(-1), nd),
-                planar_to_interleave(bz.reshape(-1), nd))
+                planar_to_interleave(b_out.reshape(-1), nd))
 
     def _solve_gmg(self, rho, rhs, rtol=1e-8, maxiter=400):
         # cached jits per model (eager multigrid ops pay a dispatch

