@@ -269,13 +269,25 @@ def test_gmg_large_nu_falls_back_to_xla():
 
     The packed (from_packed) levels have no XLA coefficient planes, so
     the fallback smoother matvecs through the Pallas kernel (niter=0
-    residual form) — exercised here with the fused assembly on."""
+    residual form) — exercised here with the fused assembly on.
+
+    Gates: (a) the *true* residual of the iterate against an
+    independently (XLA-) assembled operator — a corrupted fallback
+    preconditioner drives the PCG recurrence residual down while the
+    true residual stalls; (b) a loose solution check vs the f64 direct
+    solve.  Both sit above the f32 recurrence-drift floor (~7e-5
+    absolute / ~3e-4 relative on this mesh — the pure-XLA f32 solver
+    lands there too, so tighter gates would test the float format, not
+    the fallback logic; the fused-assembly kernels are f32-only)."""
     nx, ny = 33, 17
+    kw = dict(dtype=jnp.float32, nu_pre=8, nu_post=8, coarse_dense=True)
     asm = GMGAssembler(nx, ny, 2.0, 1.0, "elasticity", p=0.0,
-                       dtype=jnp.float32, nu_pre=8, nu_post=8,
                        pallas_smooth=True, pallas_ty=16, pallas_asm_min=0,
-                       coarse_dense=True)
+                       **kw)
     gmg, lv0 = asm.assemble(jnp.ones(ny * nx, jnp.float32))
+    # independent operator: same hierarchy, plain XLA uniform assembly
+    asm_x = GMGAssembler(nx, ny, 2.0, 1.0, "elasticity", p=0.0, **kw)
+    _, lv0_x = asm_x.assemble(jnp.ones(ny * nx, jnp.float32))
     creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny, element_type="quad")
     conn, X, dof_fixed, nodal_force = creator.create_linear_elasticity_problem()
     model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
@@ -283,10 +295,13 @@ def test_gmg_large_nu_falls_back_to_xla():
     b = _to_grid(jnp.asarray(model.compute_rhs(), jnp.float32), 2, ny, nx)
     b = jnp.where(lv0.mask, 0.0, b)
     x, k, rn = pcg(lv0.matvec, gmg.apply, b, rtol=1e-7, maxiter=200)
+    assert int(k) < 200  # converged, not stopped by maxiter
+    true_r = float(jnp.linalg.norm(b - lv0_x.matvec(x)))
+    assert true_r < 2e-4 * float(jnp.linalg.norm(b))
     u = _to_vec(x, 2)
     u_ref = np.asarray(model.solve(method="direct"))
     rel = np.linalg.norm(np.asarray(u) - u_ref) / np.linalg.norm(u_ref)
-    assert rel < 5e-5  # f32 solve at rtol 1e-7 vs f64 direct
+    assert rel < 2e-3  # above the f32 drift floor, far below divergence
 
 
 def test_gmg3d_general_dirichlet_mask():
