@@ -61,9 +61,9 @@ def run_3d(args, log):
             lv0.mask, 0.0,
             interleave_to_planar(rhs, 3).reshape(3, n, n, n),
         )
-        x, k, rn = multigrid.pcg(lv0.matvec, gmg.apply, b,
-                                 rtol=args.rtol, maxiter=args.maxiter,
-                                 flexible=sm_dtype is not None)
+        x, k, rn = multigrid.pcg_gmg(gmg, lv0, b, rtol=args.rtol,
+                                     maxiter=args.maxiter,
+                                     flexible=sm_dtype is not None)
         return planar_to_interleave(x.reshape(-1), 3), k, rn
 
     rho = jnp.ones((model.nnodes,), dtype)
@@ -331,14 +331,17 @@ def main():
             rhs_g = interleave_to_planar(rhs, 2).reshape(2, args.ny, args.nx)
             b = jnp.where(lv0.mask, 0.0, rhs_g)
             if args.precond == "gmg":
-                precond = gmg.apply
+                x, k, rn = multigrid.pcg_gmg(
+                    gmg, lv0, b, rtol=rtol, maxiter=maxiter,
+                    flexible=sm_dtype is not None,
+                )
             else:
                 precond = lambda r: lv0.inv_diag * jnp.where(
                     lv0.mask, 0.0, r
                 )
-            x, k, rn = multigrid.pcg(lv0.matvec, precond, b, rtol=rtol,
-                                     maxiter=maxiter,
-                                     flexible=sm_dtype is not None)
+                x, k, rn = multigrid.pcg(lv0.matvec, precond, b,
+                                         rtol=rtol, maxiter=maxiter,
+                                         flexible=sm_dtype is not None)
             return planar_to_interleave(x.reshape(-1), 2), k, rn
 
         return jax.jit(step)

@@ -327,9 +327,8 @@ class FEModel:
                 else:
                     b = jnp.where(lv0.mask, vals_g, rhs_g)
                 x0 = jnp.where(lv0.mask, vals_g, 0.0)
-                x, k, rn = multigrid.pcg(
-                    lv0.matvec, gmg.apply, b, rtol=rtol_v,
-                    maxiter=maxiter, x0=x0,
+                x, k, rn = multigrid.pcg_gmg(
+                    gmg, lv0, b, rtol=rtol_v, maxiter=maxiter, x0=x0,
                 )
                 u = planar_to_interleave(x.reshape(-1), nd)
                 return (u, planar_to_interleave(b.reshape(-1), nd), k, rn,

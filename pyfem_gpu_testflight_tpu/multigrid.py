@@ -484,7 +484,8 @@ class Level:
 
     @classmethod
     def from_packed3d(cls, op, coeff_k, invd_k, mask, shape, nd, tz=1,
-                      smoother_dtype=None, interpret=False):
+                      smoother_dtype=None, coeff_lp_k=None,
+                      interpret=False):
         """3D level straight from packed kernel-layout data."""
         from .ops import pallas_smooth as ps
 
@@ -503,15 +504,19 @@ class Level:
         lv.tz = int(tz)
         lv.coeff_k = coeff_k
         lv.invd_k = invd_k
-        lv.coeff_lp_k = (
-            coeff_k.astype(smoother_dtype) if smoother_dtype else None
-        )
+        if coeff_lp_k is not None:
+            lv.coeff_lp_k = coeff_lp_k
+        else:
+            lv.coeff_lp_k = (
+                coeff_k.astype(smoother_dtype) if smoother_dtype else None
+            )
         lv.inv_diag = ps.unpack_field3d(invd_k, *lv.shape)
         return lv
 
     @classmethod
     def from_packed(cls, op, coeff_k, invd_k, mask, shape, nd, ty,
-                    smoother_dtype=None, interpret=False):
+                    smoother_dtype=None, coeff_lp_k=None,
+                    interpret=False):
         """Level straight from packed kernel-layout data.
 
         Built by the fused Pallas assembly (``ops.pallas_assemble``); no
@@ -541,9 +546,12 @@ class Level:
             )
         lv.coeff_k = coeff_k
         lv.invd_k = invd_k
-        lv.coeff_lp_k = (
-            coeff_k.astype(smoother_dtype) if smoother_dtype else None
-        )
+        if coeff_lp_k is not None:
+            lv.coeff_lp_k = coeff_lp_k
+        else:
+            lv.coeff_lp_k = (
+                coeff_k.astype(smoother_dtype) if smoother_dtype else None
+            )
         # invd_k is in the kernel *input* layout (logical row iy at
         # physical iy + _PADY, col ix at ix + 1) — not the output
         # layout unpack_field2d strips
@@ -618,6 +626,27 @@ class Level:
             interpret=self.pallas_interpret,
         )
         return ps.unpack_field2d(xk, ny, nx)
+
+    def postsmooth_resid(self, b, x0, niter, omega):
+        """Fused post-sweeps plus the residual: (x, b - A x).
+
+        Runs on the full-precision coefficients (not the bf16 smoother
+        copy): the trailing residual defines ``A z = b - r`` for the
+        PCG matvec-by-recurrence (:func:`pcg_gmg`), so it must be the
+        PCG operator.  One extra in-VMEM pass instead of a separate
+        matvec kernel launch (and its coefficient re-read).
+        """
+        from .ops import pallas_smooth as ps
+
+        ny, nx = self.shape
+        bk = ps.pack_field2d(b, self.ty)
+        x0k = ps.pack_field2d(x0, self.ty)
+        xk, rk = ps.fused_sweeps_2d(
+            self.coeff_k, self.invd_k, bk, x0k, niter=niter,
+            want_resid=True, omega=omega, ty=self.ty,
+            interpret=self.pallas_interpret,
+        )
+        return ps.unpack_field2d(xk, ny, nx), ps.unpack_field2d(rk, ny, nx)
 
     # -- 3D fused ops (one z-tiled kernel call per sweep) -----------------
 
@@ -798,6 +827,42 @@ class GMG:
     def apply(self, r):
         """Preconditioner action z = M^-1 r (zero at constrained dofs)."""
         return self._cycle(0, jnp.where(self.levels[0].mask, 0.0, r))
+
+    @property
+    def supports_apply_resid(self):
+        """True when the fine level can fuse the trailing residual."""
+        from .ops.pallas_smooth import SWEEP_BUDGET, halo_sweeps_2d
+
+        lv = self.levels[0]
+        return (
+            getattr(lv, "pallas", False)
+            and self.smoother == "jacobi"
+            and len(self.levels) > 1
+            and 1 <= self.nu_pre <= SWEEP_BUDGET
+            and 1 <= self.nu_post
+            and halo_sweeps_2d(self.nu_post, False, True) <= SWEEP_BUDGET
+        )
+
+    def apply_resid(self, r):
+        """One V-cycle returning (z, A z) with A z riding the postsmooth.
+
+        The fine level's fused postsmooth emits its final residual
+        ``r - A z`` in the same kernel pass (f32 coefficients), so the
+        PCG matvec comes out free: ``A z = r - r_out``.  Only valid when
+        :attr:`supports_apply_resid`; callers fall back to
+        ``(apply(r), matvec)`` otherwise.
+        """
+        lv = self.levels[0]
+        b = jnp.where(lv.mask, 0.0, r)
+        x, rr = lv.presmooth_resid(b, self.nu_pre, self.omega)
+        coarse = self.levels[1]
+        bc = self.restrict_fn(rr, coarse.shape)
+        bc = jnp.where(coarse.mask, 0.0, bc)
+        xc = self._cycle(1, bc)
+        corr = self.prolong_fn(xc, lv.shape)
+        x = x + jnp.where(lv.mask, 0.0, corr)
+        z, rout = lv.postsmooth_resid(b, x, self.nu_post, self.omega)
+        return z, b - rout
 
 
 # ---------------------------------------------------------------------------
@@ -1057,15 +1122,18 @@ class GMGAssembler:
                 lny, lnx = shape
                 ny_pad, nxp = _geom(lny, lnx, self.pallas_ty)
                 rho_a = pa.pack_assembly_field(rho_grid, ny_pad, nxp)
-                ck, dk = pa.assemble_pack_2d(
+                outs = pa.assemble_pack_2d(
                     rho_a, maskf_a, W36, np.asarray(self.N),
                     nd=self.nd, p=self.p, ny=lny, nx=lnx,
-                    ty=self.pallas_ty, interpret=pal_interp,
+                    ty=self.pallas_ty, lp_dtype=self.smoother_dtype,
+                    interpret=pal_interp,
                 )
+                ck, dk = outs[0], outs[1]
+                lpk = outs[2] if len(outs) > 2 else None
                 levels.append(Level.from_packed(
                     op, ck, dk, mask, shape, self.nd, self.pallas_ty,
                     smoother_dtype=self.smoother_dtype,
-                    interpret=pal_interp,
+                    coeff_lp_k=lpk, interpret=pal_interp,
                 ))
             else:
                 coeff = self._level_coeff(op, Xe, conn32, Kq, rho_grid)
@@ -1151,6 +1219,54 @@ def pcg(matvec, precond, b, rtol=1e-6, maxiter=500, x0=None,
         return (x, r_new, z_new, pv, rz2, k + 1)
 
     x, r, *_, k = jax.lax.while_loop(cond, body, (x0, r, z, pvec, rz, 0))
+    return x, k, jnp.sqrt(jnp.vdot(r, r).real)
+
+
+def pcg_gmg(gmg, lv0, b, rtol=1e-6, maxiter=500, x0=None, flexible=False):
+    """PCG with the V-cycle preconditioner, fusing the matvec when possible.
+
+    When the fine level runs the fused Pallas smoother,
+    ``gmg.apply_resid`` returns ``A z`` alongside ``z`` (the trailing
+    residual of the postsmooth kernel), and ``A p`` is maintained by the
+    recurrence ``A p = A z + beta A p`` — the per-iteration operator
+    matvec (a full coefficient re-read plus a kernel launch) disappears.
+    Falls back to :func:`pcg` otherwise.  Same return contract.
+    """
+    if not gmg.supports_apply_resid:
+        return pcg(lv0.matvec, gmg.apply, b, rtol=rtol, maxiter=maxiter,
+                   x0=x0, flexible=flexible)
+
+    tol2 = (rtol * jnp.linalg.norm(b)) ** 2
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r = b
+    else:
+        r = b - lv0.matvec(x0)
+    z, Az = gmg.apply_resid(r)
+    rz = jnp.vdot(r, z)
+
+    def cond(s):
+        _, r, _, _, _, _, k = s
+        return (jnp.vdot(r, r).real > tol2) & (k < maxiter)
+
+    def body(s):
+        x, r, z, pv, Ap, rz, k = s
+        alpha = rz / jnp.vdot(pv, Ap)
+        x = x + alpha * pv
+        r_new = r - alpha * Ap
+        z_new, Az_new = gmg.apply_resid(r_new)
+        if flexible:
+            beta = jnp.vdot(r_new - r, z_new) / rz
+        else:
+            beta = jnp.vdot(r_new, z_new) / rz
+        rz2 = jnp.vdot(r_new, z_new)
+        pv = z_new + beta * pv
+        Ap = Az_new + beta * Ap
+        return (x, r_new, z_new, pv, Ap, rz2, k + 1)
+
+    x, r, *_, k = jax.lax.while_loop(
+        cond, body, (x0, r, z, z, Az, rz, 0)
+    )
     return x, k, jnp.sqrt(jnp.vdot(r, r).real)
 
 
@@ -1323,15 +1439,18 @@ class GMGAssembler3D:
                 rho_a = pa.pack_assembly_field3d(
                     rho_grid, nyp, nxp, tz=self.pallas_tz
                 )
-                ck, dk = pa.assemble_pack_3d(
+                outs = pa.assemble_pack_3d(
                     rho_a, maskf_a, W3, np.asarray(self.N),
                     nd=self.nd, p=self.p, nz=lnz, ny=lny, nx=lnx,
-                    tz=self.pallas_tz, interpret=pal_interp,
+                    tz=self.pallas_tz, lp_dtype=self.smoother_dtype,
+                    interpret=pal_interp,
                 )
+                ck, dk = outs[0], outs[1]
+                lpk = outs[2] if len(outs) > 2 else None
                 levels.append(Level.from_packed3d(
                     op, ck, dk, mask, shape, self.nd, tz=self.pallas_tz,
                     smoother_dtype=self.smoother_dtype,
-                    interpret=pal_interp,
+                    coeff_lp_k=lpk, interpret=pal_interp,
                 ))
                 rho_grid = rho_grid[0::2, 0::2, 0::2]
                 continue

@@ -49,7 +49,7 @@ __all__ = [
     "assemble_pack_2d",
 ]
 
-_TY = 8  # assembly row-tile (output-bound kernel; small tiles are fine)
+_TY = 16  # assembly row-tile; 16 keeps bf16 output blocks tile-aligned
 _APAD = 24  # top padding of assembly-layout inputs
 
 
@@ -76,8 +76,13 @@ def assembly_weights(plan, Kq, nd, nq):
     return W
 
 
-def _kernel(rref, mref, cout, dout, r_s, m_s, sems, *, nd, nxp, W36, N,
-            p, n_tiles, ney, nex):
+def _kernel(rref, mref, cout, dout, *rest, nd, nxp, W36, N,
+            p, n_tiles, ney, nex, want_lp=False):
+    if want_lp:
+        lpout, r_s, m_s, sems = rest
+    else:
+        r_s, m_s, sems = rest
+        lpout = None
     TY = _TY
     i = pl.program_id(0)
 
@@ -168,6 +173,13 @@ def _kernel(rref, mref, cout, dout, r_s, m_s, sems, *, nd, nxp, W36, N,
                         diags[ca] = plane
                     cout[k] = zrow
                     cout[k, :, 1 : 1 + XI] = plane
+                    if lpout is not None:
+                        # low-precision smoother copy in the same pass
+                        # (a separate cast re-reads the whole array)
+                        lpout[k] = zrow.astype(lpout.dtype)
+                        lpout[k, :, 1 : 1 + XI] = plane.astype(
+                            lpout.dtype
+                        )
     for c in range(nd):
         d = diags[c]
         dout[c] = zrow
@@ -175,7 +187,7 @@ def _kernel(rref, mref, cout, dout, r_s, m_s, sems, *, nd, nxp, W36, N,
 
 
 def assemble_pack_2d(rho_a, maskf_a, W36, N, *, nd, p, ny, nx, ty=32,
-                     interpret=False):
+                     lp_dtype=None, interpret=False):
     """Density grid -> packed eliminated coefficients + inverse diagonal.
 
     Traceable (call under the enclosing solve's jit); W36/N are *static*
@@ -189,9 +201,12 @@ def assemble_pack_2d(rho_a, maskf_a, W36, N, *, nd, p, ny, nx, ty=32,
         N: (nq, 4) shape values at quad points (numpy).
         nd, p, ny, nx: physics/grid statics; ty: the *smoother* tile
             (fixes ny_pad so layouts agree).
+        lp_dtype: also emit a low-precision coefficient copy (the
+            smoother's) in the same pass — an out-of-kernel cast costs
+            a full re-read of the coefficients at the HBM roofline.
 
     Returns:
-        (coeff_k, invd_k): (nd*nd*9, ny_pad+16, nxp) and
+        (coeff_k, invd_k[, coeff_lp_k]): (nd*nd*9, ny_pad+16, nxp) and
         (nd, ny_pad+16, nxp), ``pallas_smooth`` layouts.
     """
     W36 = np.asarray(W36)
@@ -201,26 +216,32 @@ def assemble_pack_2d(rho_a, maskf_a, W36, N, *, nd, p, ny, nx, ty=32,
     n_tiles = R // _TY
     nk = nd * nd * 9
     dt = rho_a.dtype
+    want_lp = lp_dtype is not None
 
     kern = functools.partial(
         _kernel, nd=nd, nxp=nxp, W36=W36, N=N, p=float(p),
-        n_tiles=n_tiles, ney=ny - 1, nex=nx - 1,
+        n_tiles=n_tiles, ney=ny - 1, nex=nx - 1, want_lp=want_lp,
     )
     blk = lambda d0: pl.BlockSpec(
         (d0, _TY, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
+    out_specs = [blk(nk), blk(nd)]
+    out_shape = [
+        jax.ShapeDtypeStruct((nk, R, nxp), dt),
+        jax.ShapeDtypeStruct((nd, R, nxp), dt),
+    ]
+    if want_lp:
+        out_specs.append(blk(nk))
+        out_shape.append(jax.ShapeDtypeStruct((nk, R, nxp), lp_dtype))
     scratch_bytes = 2 * (1 + nd) * (_TY + 16) * nxp * np.dtype(dt).itemsize
     out_bytes = 2 * (nk + nd) * _TY * nxp * np.dtype(dt).itemsize
     with jax.enable_x64(False):
-        coeff_k, invd_k = pl.pallas_call(
+        outs = pl.pallas_call(
             kern,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-            out_specs=(blk(nk), blk(nd)),
-            out_shape=(
-                jax.ShapeDtypeStruct((nk, R, nxp), dt),
-                jax.ShapeDtypeStruct((nd, R, nxp), dt),
-            ),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=[
                 pltpu.VMEM((2, _TY + 16, nxp), dt),
                 pltpu.VMEM((2, nd, _TY + 16, nxp), dt),
@@ -236,7 +257,7 @@ def assemble_pack_2d(rho_a, maskf_a, W36, N, *, nd, p, ny, nx, ty=32,
             ),
             interpret=interpret,
         )(rho_a, maskf_a)
-    return coeff_k, invd_k
+    return outs
 
 
 # ---------------------------------------------------------------------------
@@ -340,19 +361,118 @@ def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez):
         )
 
 
+def _kernel3d_slab(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, atz,
+                   want_lp=False):
+    """atz output z-planes per program (amortizes per-op VPU overhead).
+
+    refs: rho0, rho1, m0, m1, cout, dout[, lpout] — rho/mask arrive as
+    two consecutive atz-blocks covering physical [i*atz, (i+2)*atz),
+    i.e. logical z in [i*atz - 1, (i+2)*atz - 1): the one-plane halo
+    each side of the output slab (atz >= 2 required).
+    """
+    if want_lp:
+        rho0, rho1, m0, m1, cout, dout, lpout = refs
+    else:
+        rho0, rho1, m0, m1, cout, dout = refs
+        lpout = None
+    i = pl.program_id(0)
+
+    nq = N.shape[0]
+    YI, XI = nyp - 2, nxp - 2
+    rho2 = jnp.concatenate([rho0[...], rho1[...]], axis=0)
+    m2 = jnp.concatenate([m0[...], m1[...]], axis=1)
+    fdt = rho2.dtype
+
+    # material at quad points for the atz+1 element slabs
+    # ez = i*atz - 1 + e_lz touching the output planes
+    shp = (atz + 1, nyp - 1, nxp - 1)
+    ey = jax.lax.broadcasted_iota(jnp.int32, shp, 1) - 1
+    ex = jax.lax.broadcasted_iota(jnp.int32, shp, 2) - 1
+    ezi = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + (i * atz - 1)
+    valid = (
+        (ey >= 0) & (ey < ney) & (ex >= 0) & (ex < nex)
+        & (ezi >= 0) & (ezi < nez)
+    ).astype(fdt)
+    Cq3 = []
+    for q in range(nq):
+        acc = None
+        for n, (nzo, nyo, nxo) in enumerate(_HEX8_LOCAL):
+            t = float(N[q, n]) * rho2[
+                nzo : nzo + atz + 1,
+                nyo : nyo + nyp - 1,
+                nxo : nxo + nxp - 1,
+            ]
+            acc = t if acc is None else acc + t
+        Cq3.append(valid * acc / (1.0 + p * (1.0 - acc)))
+
+    rowm = [m2[c, 1 : 1 + atz, 1 : 1 + YI, 1 : 1 + XI] for c in range(nd)]
+    diags = [None] * nd
+    cout[...] = jnp.zeros((nd * nd * 27, atz, nyp, nxp), fdt)
+    if lpout is not None:
+        lpout[...] = jnp.zeros(
+            (nd * nd * 27, atz, nyp, nxp), lpout.dtype
+        )
+    for ca in range(nd):
+        for cb in range(nd):
+            for dz in range(3):
+                colm_z = m2[cb, dz : dz + atz]
+                for dy in range(3):
+                    colm = colm_z[:, dy : dy + YI, :]
+                    for dx in range(3):
+                        k = (ca * nd + cb) * 27 + dz * 9 + dy * 3 + dx
+                        acc = None
+                        for o in range(8):
+                            w = W[k, o]
+                            if not np.any(w):
+                                continue
+                            az, r = divmod(o, 4)
+                            ay, ax = divmod(r, 2)
+                            for q in range(nq):
+                                if w[q] == 0.0:
+                                    continue
+                                t = float(w[q]) * Cq3[q][
+                                    1 - az : 1 - az + atz,
+                                    1 - ay : 1 - ay + YI,
+                                    1 - ax : 1 - ax + XI,
+                                ]
+                                acc = t if acc is None else acc + t
+                        if acc is None:
+                            continue
+                        plane = acc * rowm[ca] * colm[:, :, dx : dx + XI]
+                        if ca == cb and dz == dy == dx == 1:
+                            plane = plane + (1.0 - rowm[ca])
+                            diags[ca] = plane
+                        cout[k, :, 1 : 1 + YI, 1 : 1 + XI] = plane
+                        if lpout is not None:
+                            lpout[k, :, 1 : 1 + YI, 1 : 1 + XI] = (
+                                plane.astype(lpout.dtype)
+                            )
+    for c in range(nd):
+        d = diags[c]
+        dout[c] = jnp.zeros((atz, nyp, nxp), fdt)
+        dout[c, :, 1 : 1 + YI, 1 : 1 + XI] = rowm[c] / jnp.where(
+            d == 0.0, 1.0, d
+        )
+
+
 def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
-                     interpret=False):
+                     lp_dtype=None, interpret=False):
     """3D density grid -> packed eliminated coefficients + inv diagonal.
 
     Args:
-        rho_a: (nz+2, nyp, nxp) ``pack_assembly_field3d`` density.
-        maskf_a: (nd, nz+2, nyp, nxp) free-dof mask, same packing.
+        rho_a: ``pack_assembly_field3d(_, tz=tz)`` density.
+        maskf_a: (nd, ...) free-dof mask, same packing.
         W: ``assembly_weights3d`` (numpy, static).
         N: (nq, 8) hex8 shape values (numpy, static).
+        tz: z-planes per program (the pallas_smooth slab size).  tz > 1
+            cuts the per-op VPU overhead of the 243-plane accumulation
+            (each op then works on tz*ny*nx elements).
+        lp_dtype: also emit the low-precision smoother copy in-kernel
+            (slab path only; the tz=1 path falls back to a cast).
 
     Returns:
-        (coeff_k, invd_k): (nd*nd*27, nz, ny+2, nxp), (nd, nz, ny+2,
-        nxp) — ``pallas_smooth`` 3D layouts.
+        (coeff_k, invd_k[, coeff_lp_k]): (nd*nd*27, nz_pad, ny+2, nxp),
+        (nd, nz_pad, ny+2, nxp) — ``pallas_smooth`` 3D layouts.
     """
     from .pallas_smooth import _geom3d, _nzpad
 
@@ -380,6 +500,61 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
         ney=ny - 1, nex=nx - 1, nez=nz - 1,
     )
     esize = np.dtype(dt).itemsize
+    slab_buf = 2 * (nk + 3 * nd + 3) * tz * nyp * nxp * esize
+    if tz >= 2 and slab_buf <= 128 * 1024 * 1024:
+        # slab kernel: tz output planes per program, rho/mask as two
+        # consecutive tz-blocks covering the one-plane z-halo
+        grid = nz_pad // tz
+        P = (grid + 1) * tz
+        padz = P - int(rho_a.shape[0])
+        if padz > 0:
+            rho_a = jnp.pad(rho_a, ((0, padz), (0, 0), (0, 0)))
+            maskf_a = jnp.pad(
+                maskf_a, ((0, 0), (0, padz), (0, 0), (0, 0))
+            )
+        sblk = lambda d0: pl.BlockSpec(
+            (d0, tz, nyp, nxp), lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        srblk = lambda off: pl.BlockSpec(
+            (tz, nyp, nxp), lambda i, o=off: (i + o, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        smblk = lambda off: pl.BlockSpec(
+            (nd, tz, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        kern = functools.partial(
+            _kernel3d_slab, nd=nd, nyp=nyp, nxp=nxp, W=W, N=N,
+            p=float(p), ney=ny - 1, nex=nx - 1, nez=nz - 1, atz=tz,
+            want_lp=lp_dtype is not None,
+        )
+        out_specs = [sblk(nk), sblk(nd)]
+        out_shape = [
+            jax.ShapeDtypeStruct((nk, nz_pad, nyp, nxp), dt),
+            jax.ShapeDtypeStruct((nd, nz_pad, nyp, nxp), dt),
+        ]
+        if lp_dtype is not None:
+            out_specs.append(sblk(nk))
+            out_shape.append(
+                jax.ShapeDtypeStruct((nk, nz_pad, nyp, nxp), lp_dtype)
+            )
+        with jax.enable_x64(False):
+            outs = pl.pallas_call(
+                kern,
+                grid=(grid,),
+                in_specs=[srblk(0), srblk(1), smblk(0), smblk(1)],
+                out_specs=tuple(out_specs),
+                out_shape=tuple(out_shape),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=min(
+                        128 * 1024 * 1024, slab_buf + (1 << 24)
+                    )
+                ),
+                interpret=interpret,
+            )(rho_a, rho_a, maskf_a, maskf_a)
+        return outs
+
     buf = 2 * (nk + nd + 3 + 3 * nd) * nyp * nxp * esize
     with jax.enable_x64(False):
         coeff_k, invd_k = pl.pallas_call(
@@ -399,4 +574,6 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
             ),
             interpret=interpret,
         )(rho_a, rho_a, rho_a, maskf_a, maskf_a, maskf_a)
+    if lp_dtype is not None:
+        return coeff_k, invd_k, coeff_k.astype(lp_dtype)
     return coeff_k, invd_k

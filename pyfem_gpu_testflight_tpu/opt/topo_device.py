@@ -120,8 +120,8 @@ class DeviceTopo:
             # moves by <= the MMA move limit per iteration, so the old
             # u is an excellent initial iterate (measured 48 -> ~15
             # PCG iterations at 1M dof, p=3 contrast)
-            u, it, rn = multigrid.pcg(
-                lv0.matvec, gmg.apply, b, rtol=rtol, maxiter=maxiter,
+            u, it, rn = multigrid.pcg_gmg(
+                gmg, lv0, b, rtol=rtol, maxiter=maxiter,
                 flexible=flexible, x0=jnp.where(lv0.mask, 0.0, u_prev),
             )
             u_il = planar_to_interleave(u.reshape(-1), nd)

@@ -189,19 +189,25 @@ def test_gmg3d_pcg_with_pallas_smoother():
     assert rel < 5e-4
 
 
-def test_fused_assembly3d_matches_xla():
-    """assemble_pack_3d == packed XLA route on every non-coarsest level."""
+@pytest.mark.parametrize("tz", [1, 2, 4])
+def test_fused_assembly3d_matches_xla(tz):
+    """assemble_pack_3d == packed XLA route on every non-coarsest level.
+
+    tz >= 2 exercises the slab kernel (two-block z-halo windows); tz=1
+    the per-plane kernel.
+    """
     n = 9
     rng = np.random.default_rng(0)
     rho = jnp.asarray(rng.uniform(0.3, 1.0, n ** 3), jnp.float32)
     b = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
     a_x = multigrid.GMGAssembler3D(n, n, n, 1.0, 1.0, 1.0, "elasticity",
                                    p=3.0, dtype=jnp.float32,
-                                   pallas_smooth=True,
+                                   pallas_smooth=True, pallas_tz=tz,
                                    pallas_asm_min=10 ** 9)
     a_p = multigrid.GMGAssembler3D(n, n, n, 1.0, 1.0, 1.0, "elasticity",
                                    p=3.0, dtype=jnp.float32,
-                                   pallas_smooth=True, pallas_asm_min=0)
+                                   pallas_smooth=True, pallas_tz=tz,
+                                   pallas_asm_min=0)
     gx, lx = a_x.assemble(rho)
     gp, lp = a_p.assemble(rho)
     n_packed = 0
@@ -264,3 +270,73 @@ def test_bf16_smoother_coefficients(dim):
     )
     assert abs(sols[True][1] - sols[False][1]) <= 3
     assert rel < 5e-3  # bf16 smoother, both converged at rtol 1e-6
+
+
+def test_pcg_gmg_fused_matvec_matches_pcg():
+    """pcg_gmg (A p by recurrence off the postsmooth residual) == pcg.
+
+    The fused path replaces the per-iteration operator matvec with
+    ``A z = r - r_out`` from the fine postsmooth kernel (f32
+    coefficients) plus the recurrence ``A p = A z + beta A p``.
+    """
+    nx, ny = 65, 33
+    rng = np.random.default_rng(0)
+    rho = jnp.asarray(rng.uniform(0.3, 1.0, ny * nx), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, ny, nx)), jnp.float32)
+    for smd in (None, jnp.bfloat16):
+        asm = multigrid.GMGAssembler(
+            nx, ny, 2.0, 1.0, "elasticity", p=3.0, dtype=jnp.float32,
+            pallas_smooth=True, smoother_dtype=smd,
+        )
+        gmg, lv0 = asm.assemble(rho)
+        assert gmg.supports_apply_resid
+        bb = jnp.where(lv0.mask, 0.0, b)
+        fl = smd is not None
+        x1, k1, _ = multigrid.pcg(lv0.matvec, gmg.apply, bb, rtol=1e-7,
+                                  maxiter=100, flexible=fl)
+        x2, k2, _ = multigrid.pcg_gmg(gmg, lv0, bb, rtol=1e-7,
+                                      maxiter=100, flexible=fl)
+        rel = float(jnp.abs(x1 - x2).max() / jnp.abs(x1).max())
+        assert abs(int(k1) - int(k2)) <= 2
+        assert rel < 5e-4
+        # warm start re-enters through the explicit initial matvec
+        x3, k3, _ = multigrid.pcg_gmg(gmg, lv0, bb, rtol=1e-7,
+                                      maxiter=100, x0=x2, flexible=fl)
+        assert int(k3) <= 8
+    # XLA-smoother hierarchy falls back to the classic path
+    asm = multigrid.GMGAssembler(nx, ny, 2.0, 1.0, "elasticity", p=3.0,
+                                 dtype=jnp.float32)
+    gmg, lv0 = asm.assemble(rho)
+    assert not gmg.supports_apply_resid
+    bb = jnp.where(lv0.mask, 0.0, b)
+    x4, k4, _ = multigrid.pcg_gmg(gmg, lv0, bb, rtol=1e-7, maxiter=100)
+    x5, k5, _ = multigrid.pcg(lv0.matvec, gmg.apply, bb, rtol=1e-7,
+                              maxiter=100)
+    assert int(k4) == int(k5)
+    assert float(jnp.abs(x4 - x5).max()) == 0.0
+
+
+@pytest.mark.parametrize("dim", ["2d", "3d"])
+def test_assembly_lp_output_matches_cast(dim):
+    """In-kernel bf16 coefficient copy == cast of the f32 output."""
+    rng = np.random.default_rng(3)
+    if dim == "2d":
+        nx, ny = 65, 33
+        rho = jnp.asarray(rng.uniform(0.3, 1.0, ny * nx), jnp.float32)
+        asm = multigrid.GMGAssembler(
+            nx, ny, 2.0, 1.0, "elasticity", p=3.0, dtype=jnp.float32,
+            pallas_smooth=True, smoother_dtype=jnp.bfloat16,
+        )
+    else:
+        n = 9
+        rho = jnp.asarray(rng.uniform(0.3, 1.0, n ** 3), jnp.float32)
+        asm = multigrid.GMGAssembler3D(
+            n, n, n, 1.0, 1.0, 1.0, "elasticity", p=3.0,
+            dtype=jnp.float32, pallas_smooth=True, pallas_asm_min=0,
+            pallas_tz=2, smoother_dtype=jnp.bfloat16,
+        )
+    gmg, _ = asm.assemble(rho)
+    lv = gmg.levels[0]
+    lp = np.asarray(lv.coeff_lp_k, np.float32)
+    cast = np.asarray(lv.coeff_k.astype(jnp.bfloat16), np.float32)
+    assert np.abs(lp - cast).max() == 0.0
