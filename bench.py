@@ -50,6 +50,7 @@ def run_3d(args, log):
         n, n, n, Lx, Ly, Lz, "elasticity", p=0.0, dtype=dtype,
         nu_pre=args.nu, nu_post=args.nu, smoother_dtype=sm_dtype,
         pallas_smooth=args.pallas_smooth, pallas_min=args.pallas_min,
+        pallas_tz=args.pallas_tz,
     )
     log(f"3d gmg levels: {asm.sizes}")
 
@@ -206,6 +207,8 @@ def main():
                     help="row-tile size of the fused smoother kernel")
     ap.add_argument("--pallas-min", dest="pallas_min", type=int, default=0,
                     help="smallest ny*nx level using the Pallas smoother")
+    ap.add_argument("--pallas-tz", dest="pallas_tz", type=int, default=1,
+                    help="z-slabs per program for the 3D fused kernels")
     ap.add_argument("--smoother-dtype", dest="smoother_dtype",
                     choices=["none", "bfloat16"], default="bfloat16",
                     help="low-precision coefficient copy for the Pallas "
@@ -213,6 +216,10 @@ def main():
                          "f32)")
     ap.add_argument("--min_n", type=int, default=5,
                     help="coarsest-grid size floor")
+    ap.add_argument("--no-accuracy-extra", dest="no_accuracy_extra",
+                    action="store_true",
+                    help="skip the mixed-precision accuracy-mode extra "
+                         "(quick timing sweeps)")
     ap.add_argument("--check", action="store_true",
                     help="compare against host scipy direct solve")
     ap.add_argument("--quiet", action="store_true")
@@ -396,7 +403,7 @@ def main():
             make_speed_step(), "speed"
         )
         extra["single_shot_s"] = round(single, 4)
-        if args.precond == "gmg":
+        if args.precond == "gmg" and not args.no_accuracy_extra:
             # also report the mixed-precision accuracy mode (same dofs)
             try:
                 acc_step, acc_rtol = make_accuracy_step()

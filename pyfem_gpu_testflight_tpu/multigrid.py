@@ -968,7 +968,9 @@ class GMGAssembler:
             # stencil operator: analytic plan, scatter-free assembly,
             # static-slice matvec on (nd, ny, nx) planes
             op = Stencil2D(lnx, lny, nd)
-            Xe = jnp.asarray(creator.X, dtype)[conn32]
+            # gather on host: an eager device gather compiles a fresh
+            # program per level shape (minutes each over a remote chip)
+            Xe = jnp.asarray(creator.X[creator.conn], dtype)
             if cur_mask is not None:
                 mask_np = cur_mask.copy()
                 cur_mask = cur_mask[:, ::2, ::2]
@@ -995,14 +997,10 @@ class GMGAssembler:
                 )
                 ny_pad, nxp = _geom(lny, lnx, self.pallas_ty)
                 maskf = (~mask_np).astype(np.float32)
-                maskf_a = jnp.stack(
-                    [
-                        pa.pack_assembly_field(
-                            jnp.asarray(maskf[c], dtype), ny_pad, nxp
-                        )
-                        for c in range(nd)
-                    ]
-                )
+                # pack on host (same layout as pa.pack_assembly_field)
+                pk = np.zeros((nd, ny_pad + 48, nxp), np.float32)
+                pk[:, pa._APAD : pa._APAD + lny, 1 : 1 + lnx] = maskf
+                maskf_a = jnp.asarray(pk, dtype)
                 pal = (W36, maskf_a)
             self.static_levels.append(
                 (op, Xe, conn32, mask, (lny, lnx), Kq, pal)
@@ -1012,30 +1010,61 @@ class GMGAssembler:
         """(nquads, ndpe, ndpe) per-quadrature unit element matrices.
 
         Kq[q] = w_q |J_q| B_q^T C B_q of the level's (uniform) element —
-        computed once at setup in float64 through the einsum path, so
-        ``sum_q Cq[e,q] Kq[q]`` reproduces the general assembly exactly
-        on uniform grids.
-        """
-        from .ops import stiffness
+        computed once at setup in float64, so ``sum_q Cq[e,q] Kq[q]``
+        reproduces the general assembly exactly on uniform grids.
 
-        et_dtype = jnp.float64
-        # one tiny f64 computation at setup: run on the host CPU backend
-        # (f64 einsums on TPU go through a memory-hungry emulation)
-        with jax.default_device(jax.devices("cpu")[0]):
-            Xe1 = jnp.asarray(np.asarray(Xe1), et_dtype)[None]
-            dN = jnp.asarray(np.asarray(self.dN), et_dtype)
-            wq = jnp.asarray(np.asarray(self.wq), et_dtype)
-            nq = dN.shape[0]
-            onehot = jnp.eye(nq, dtype=et_dtype)
-            if self.physics == "elasticity":
-                f = lambda c: stiffness.elasticity_stiffness(
-                    Xe1, dN, wq, c[None], self.mu, self.lam
-                )[0]
-            else:
-                f = lambda c: stiffness.poisson_stiffness(
-                    Xe1, dN, wq, c[None]
-                )[0]
-            Kq = np.asarray(jax.vmap(f)(onehot))
+        Pure NumPy (mirrors ops.geometry.jacobian/det_and_inv and the
+        ops.stiffness Lame form): a JAX computation here — even on the
+        CPU backend — pays a multi-minute first-jit when a remote TPU
+        platform is active, once per hierarchy level shape.
+        """
+        # match the in-jit assembly's tables: dtype-rounded, upcast
+        dN = np.asarray(self.dN).astype(np.float64)
+        wq = np.asarray(self.wq).astype(np.float64)
+        Xe = np.asarray(Xe1, np.float64)
+        Xc = Xe - Xe.mean(axis=0, keepdims=True)
+        J = np.einsum("qnk,ni->qik", dN, Xc)  # (nq, d, d)
+        d = J.shape[-1]
+        if d == 2:
+            det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+            inv = np.empty_like(J)
+            inv[:, 0, 0] = J[:, 1, 1]
+            inv[:, 0, 1] = -J[:, 0, 1]
+            inv[:, 1, 0] = -J[:, 1, 0]
+            inv[:, 1, 1] = J[:, 0, 0]
+            inv /= det[:, None, None]
+        else:
+            a, b, c = J[:, 0, 0], J[:, 0, 1], J[:, 0, 2]
+            p_, q_, r_ = J[:, 1, 0], J[:, 1, 1], J[:, 1, 2]
+            u, v, w = J[:, 2, 0], J[:, 2, 1], J[:, 2, 2]
+            c00 = q_ * w - r_ * v
+            c01 = -(p_ * w - r_ * u)
+            c02 = p_ * v - q_ * u
+            det = a * c00 + b * c01 + c * c02
+            adj = np.stack(
+                [
+                    np.stack([c00, -(b * w - c * v), b * r_ - c * q_], -1),
+                    np.stack([c01, a * w - c * u, -(a * r_ - c * p_)], -1),
+                    np.stack([c02, -(a * v - b * u), a * q_ - b * p_], -1),
+                ],
+                axis=-2,
+            )
+            inv = adj / det[:, None, None]
+        Ngrad = np.einsum("qnm,qmi->qni", dN, inv)  # (nq, nn, d)
+        cq = wq * det
+        nq, nn, _ = Ngrad.shape
+        if self.physics == "elasticity":
+            gg = np.einsum("q,qnl,qml->qnm", cq, Ngrad, Ngrad)
+            P = np.einsum("q,qna,qmb->qnamb", cq, Ngrad, Ngrad)
+            eye = np.eye(d)
+            Kq = (
+                self.mu
+                * (gg[:, :, None, :, None] * eye[None, None, :, None, :])
+                + self.mu * np.transpose(P, (0, 1, 4, 3, 2))
+                + self.lam * P
+            ).reshape(nq, nn * d, nn * d)
+        else:
+            Kq = np.einsum("q,qnl,qml->qnm", cq, Ngrad, Ngrad)
         return jnp.asarray(Kq, dtype or self.dtype)
 
     def material_planes(self, rho_grid):
@@ -1351,7 +1380,7 @@ class GMGAssembler3D:
             )
             conn32 = jnp.asarray(creator.conn.astype(np.int32))
             op = Stencil3D(lnx, lny, lnz, nd)
-            Xe = jnp.asarray(creator.X, dtype)[conn32]
+            Xe = jnp.asarray(creator.X[creator.conn], dtype)
             if cur_mask is not None:
                 mask_np = cur_mask.copy()
                 cur_mask = cur_mask[:, ::2, ::2, ::2]
@@ -1372,18 +1401,18 @@ class GMGAssembler3D:
                 from .ops import pallas_assemble as pa
                 from .ops.pallas_smooth import _geom3d
 
+                from .ops.pallas_smooth import _nzpad
+
                 W3 = pa.assembly_weights3d(op.plan, np.asarray(Kq), nd, 8)
                 nyp, nxp = _geom3d(lny, lnx)
                 maskf = (~mask_np).astype(np.float32)
-                maskf_a = jnp.stack(
-                    [
-                        pa.pack_assembly_field3d(
-                            jnp.asarray(maskf[c], dtype), nyp, nxp,
-                            tz=self.pallas_tz,
-                        )
-                        for c in range(nd)
-                    ]
+                # pack on host (same layout as pa.pack_assembly_field3d)
+                pk = np.zeros(
+                    (nd, _nzpad(lnz, self.pallas_tz) + 2, nyp, nxp),
+                    np.float32,
                 )
+                pk[:, 1 : 1 + lnz, 1 : 1 + lny, 1 : 1 + lnx] = maskf
+                maskf_a = jnp.asarray(pk, dtype)
                 pal = (W3, maskf_a)
             self.static_levels.append(
                 (op, Xe, conn32, mask, (lnz, lny, lnx), Kq, pal)
