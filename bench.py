@@ -51,6 +51,8 @@ def run_3d(args, log):
         nu_pre=args.nu, nu_post=args.nu, smoother_dtype=sm_dtype,
         pallas_smooth=args.pallas_smooth, pallas_min=args.pallas_min,
         pallas_tz=args.pallas_tz,
+        **({} if args.pallas_sym is None
+           else {"pallas_sym": args.pallas_sym}),
     )
     log(f"3d gmg levels: {asm.sizes}")
 
@@ -87,7 +89,13 @@ def run_3d(args, log):
     for _ in range(pipeline):
         u, k, rn = step(rho, rhs, u)
     u.block_until_ready()
-    elapsed = (time.time() - t0) / pipeline
+    t_short = time.time() - t0
+    t0 = time.time()
+    for _ in range(4 * pipeline):
+        u, k, rn = step(rho, rhs, u)
+    u.block_until_ready()
+    # steady-state marginal cost (removes the one-time sync round trip)
+    elapsed = ((time.time() - t0) - t_short) / (3 * pipeline)
     log(f"[3d] single-shot={['%.3f' % t for t in times]} "
         f"pipelined={elapsed:.4f}s/solve")
     print(json.dumps({
@@ -209,6 +217,12 @@ def main():
                     help="smallest ny*nx level using the Pallas smoother")
     ap.add_argument("--pallas-tz", dest="pallas_tz", type=int, default=1,
                     help="z-slabs per program for the 3D fused kernels")
+    ap.add_argument("--pallas-sym", dest="pallas_sym", default=None,
+                    action="store_true",
+                    help="half-stencil (symmetric) coefficient storage "
+                         "(default: on for 3D, off for 2D)")
+    ap.add_argument("--no-pallas-sym", dest="pallas_sym",
+                    action="store_false")
     ap.add_argument("--smoother-dtype", dest="smoother_dtype",
                     choices=["none", "bfloat16"], default="bfloat16",
                     help="low-precision coefficient copy for the Pallas "
@@ -267,6 +281,8 @@ def main():
         smoother_dtype=sm_dtype,
         pallas_smooth=args.pallas_smooth, pallas_ty=args.pallas_ty,
         pallas_min=args.pallas_min,
+        **({} if args.pallas_sym is None
+           else {"pallas_sym": args.pallas_sym}),
     )
     log(f"gmg levels: {asm.sizes}")
     maxiter, rtol = args.maxiter, args.rtol
@@ -382,12 +398,21 @@ def main():
             times.append(time.time() - t0)
         single = float(np.median(times))
         # pipelined throughput: chained data-dependent solves dispatched
-        # back-to-back (the hardware number — excludes harness latency)
+        # back-to-back.  The steady-state (marginal) cost between two
+        # pipeline depths removes the one-time sync round trip (~25 ms
+        # on the remote tunnel) that a single fixed depth smears over
+        # every solve.
         t0 = time.time()
         for _ in range(pipeline):
             u, iters, resnorm = step_fn(rho, rhs, u)
         u.block_until_ready()
-        elapsed = (time.time() - t0) / pipeline
+        t_short = time.time() - t0
+        t0 = time.time()
+        for _ in range(4 * pipeline):
+            u, iters, resnorm = step_fn(rho, rhs, u)
+        u.block_until_ready()
+        t_long = time.time() - t0
+        elapsed = (t_long - t_short) / (3 * pipeline)
         log(f"[{label}] single-shot={['%.3f' % t for t in times]} "
             f"pipelined={elapsed:.4f}s/solve "
             f"iters={int(iters)} resnorm={float(resnorm):.3e}")

@@ -436,7 +436,7 @@ class Level:
 
     def __init__(self, op: Stencil2D, coeff, mask, shape, nd, chol=None,
                  smoother_dtype=None, pallas_ty=None,
-                 pallas_interpret=False):
+                 pallas_interpret=False, pallas_sym=False):
         self.op = op
         self.coeff = coeff
         self.mask = mask
@@ -461,18 +461,20 @@ class Level:
             from .ops import pallas_smooth as ps
 
             self.ty = int(pallas_ty)
-            self.coeff_k = ps.pack_coeff2d(self.coeff_e, self.ty)
+            self.coeff_k = ps.pack_coeff2d(self.coeff_e, self.ty,
+                                           sym=pallas_sym)
             self.invd_k = ps.pack_field2d(self.inv_diag, self.ty)
             self.coeff_lp_k = (
                 ps.pack_coeff2d(self.coeff_e, self.ty,
-                                dtype=smoother_dtype)
+                                dtype=smoother_dtype, sym=pallas_sym)
                 if smoother_dtype else None
             )
         elif self.pallas3:
             from .ops import pallas_smooth as ps
 
             self.tz = int(pallas_ty)
-            self.coeff_k = ps.pack_coeff3d(self.coeff_e, self.tz)
+            self.coeff_k = ps.pack_coeff3d(self.coeff_e, self.tz,
+                                           sym=pallas_sym)
             self.invd_k = ps.pack_field3d(self.inv_diag, tz=self.tz)
             # optional low-precision coeff copy for the smoother only
             # (matvec — the PCG operator — stays f32); needs flexible
@@ -913,10 +915,20 @@ class GMGAssembler:
                  min_n=5, fine_mask=None, coarse_dense=True,
                  elem_path="uniform", smoother_dtype=None,
                  smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
-                 pallas_ty=32, pallas_asm_min=8192, pallas_min=0):
+                 pallas_ty=32, pallas_asm_min=8192, pallas_min=0,
+                 pallas_sym=False):
         """fine_mask: optional (nd, ny, nx) bool Dirichlet mask; coarse
         masks are derived by injection (default: clamp the x=0 column,
         matching ProblemCreator's problem factories).
+
+        pallas_sym: store only the symmetric half of the stencil
+        coefficient planes on Pallas levels (19 of 36 for nd=2) — the
+        kernels reconstruct the partner terms from shifted reads,
+        halving the coefficient HBM traffic.  Off by default in 2D:
+        measured on v5e at 1M dof the 2D kernels are vector-op bound,
+        and the extra shifted reads cost more than the DMA saved
+        (V-cycle 1.2 -> 1.7 ms); the option wins only where the
+        coefficient planes dominate bandwidth (see the 3D assembler).
 
         elem_path: element-matrix route inside ``assemble``:
             * "uniform" (default): uniform-geometry unit matrices —
@@ -946,6 +958,7 @@ class GMGAssembler:
         # smallest node count (ny*nx) that still uses the fused Pallas
         # smoother; smaller levels fall back to the XLA smoother
         self.pallas_min = int(pallas_min)
+        self.pallas_sym = bool(pallas_sym)
         nd = 2 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -1155,7 +1168,7 @@ class GMGAssembler:
                     rho_a, maskf_a, W36, np.asarray(self.N),
                     nd=self.nd, p=self.p, ny=lny, nx=lnx,
                     ty=self.pallas_ty, lp_dtype=self.smoother_dtype,
-                    interpret=pal_interp,
+                    sym=self.pallas_sym, interpret=pal_interp,
                 )
                 ck, dk = outs[0], outs[1]
                 lpk = outs[2] if len(outs) > 2 else None
@@ -1169,7 +1182,8 @@ class GMGAssembler:
                 levels.append(Level(op, coeff, mask, shape, self.nd,
                                     smoother_dtype=self.smoother_dtype,
                                     pallas_ty=pal_ty,
-                                    pallas_interpret=pal_interp))
+                                    pallas_interpret=pal_interp,
+                                    pallas_sym=self.pallas_sym))
             rho_grid = _restrict_nodal(rho_grid)
         if self.coarse_dense and (
             int(np.prod(levels[-1].shape)) * self.nd <= 4096
@@ -1337,7 +1351,7 @@ class GMGAssembler3D:
                  elem_path="uniform", smoother_dtype=None,
                  smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
                  pallas_min=0, pallas_asm_min=8192, pallas_tz=1,
-                 fine_mask=None):
+                 pallas_sym=True, fine_mask=None):
         """fine_mask: optional (nd, nz, ny, nx) bool Dirichlet mask;
         coarse masks by injection (default: clamp the x=0 face, the
         create_*_problem factories' layout — general ``dof_fixed`` of
@@ -1358,6 +1372,7 @@ class GMGAssembler3D:
         self.pallas_min = int(pallas_min)
         self.pallas_asm_min = int(pallas_asm_min)
         self.pallas_tz = int(pallas_tz)
+        self.pallas_sym = bool(pallas_sym)
         nd = 3 if physics == "elasticity" else 1
         self.nd = nd
         if physics == "elasticity":
@@ -1472,7 +1487,7 @@ class GMGAssembler3D:
                     rho_a, maskf_a, W3, np.asarray(self.N),
                     nd=self.nd, p=self.p, nz=lnz, ny=lny, nx=lnx,
                     tz=self.pallas_tz, lp_dtype=self.smoother_dtype,
-                    interpret=pal_interp,
+                    sym=self.pallas_sym, interpret=pal_interp,
                 )
                 ck, dk = outs[0], outs[1]
                 lpk = outs[2] if len(outs) > 2 else None
@@ -1497,7 +1512,8 @@ class GMGAssembler3D:
             levels.append(Level(op, coeff, mask, shape, self.nd,
                                 smoother_dtype=self.smoother_dtype,
                                 pallas_ty=pal_ty,
-                                pallas_interpret=pal_interp))
+                                pallas_interpret=pal_interp,
+                                pallas_sym=self.pallas_sym))
             rho_grid = rho_grid[0::2, 0::2, 0::2]
         if self.coarse_dense and (
             int(np.prod(levels[-1].shape)) * self.nd <= 4096

@@ -77,7 +77,7 @@ def assembly_weights(plan, Kq, nd, nq):
 
 
 def _kernel(rref, mref, cout, dout, *rest, nd, nxp, W36, N,
-            p, n_tiles, ney, nex, want_lp=False):
+            p, n_tiles, ney, nex, want_lp=False, sym_map=None):
     if want_lp:
         lpout, r_s, m_s, sems = rest
     else:
@@ -150,6 +150,9 @@ def _kernel(rref, mref, cout, dout, *rest, nd, nxp, W36, N,
                 colm = m_s[slot, cb, 7 + dy : 7 + dy + TY, :]
                 for dx in range(3):
                     k = (ca * nd + cb) * 9 + dy * 3 + dx
+                    if sym_map is not None and k not in sym_map:
+                        continue  # partner plane carries the value
+                    ko = k if sym_map is None else sym_map[k]
                     acc = None
                     for ayax in range(4):
                         ay, ax = divmod(ayax, 2)
@@ -171,13 +174,13 @@ def _kernel(rref, mref, cout, dout, *rest, nd, nxp, W36, N,
                     if ca == cb and dy == 1 and dx == 1:
                         plane = plane + (1.0 - rowm[ca])
                         diags[ca] = plane
-                    cout[k] = zrow
-                    cout[k, :, 1 : 1 + XI] = plane
+                    cout[ko] = zrow
+                    cout[ko, :, 1 : 1 + XI] = plane
                     if lpout is not None:
                         # low-precision smoother copy in the same pass
                         # (a separate cast re-reads the whole array)
-                        lpout[k] = zrow.astype(lpout.dtype)
-                        lpout[k, :, 1 : 1 + XI] = plane.astype(
+                        lpout[ko] = zrow.astype(lpout.dtype)
+                        lpout[ko, :, 1 : 1 + XI] = plane.astype(
                             lpout.dtype
                         )
     for c in range(nd):
@@ -187,7 +190,7 @@ def _kernel(rref, mref, cout, dout, *rest, nd, nxp, W36, N,
 
 
 def assemble_pack_2d(rho_a, maskf_a, W36, N, *, nd, p, ny, nx, ty=32,
-                     lp_dtype=None, interpret=False):
+                     lp_dtype=None, sym=False, interpret=False):
     """Density grid -> packed eliminated coefficients + inverse diagonal.
 
     Traceable (call under the enclosing solve's jit); W36/N are *static*
@@ -214,13 +217,19 @@ def assemble_pack_2d(rho_a, maskf_a, W36, N, *, nd, p, ny, nx, ty=32,
     ny_pad, nxp = _geom(ny, nx, ty)
     R = ny_pad + 2 * _PADY
     n_tiles = R // _TY
-    nk = nd * nd * 9
+    sym_map = None
+    if sym:
+        from .pallas_smooth import sym_planes_2d
+
+        sym_map = {k: si for si, (k, *_r) in enumerate(sym_planes_2d(nd))}
+    nk = nd * nd * 9 if sym_map is None else len(sym_map)
     dt = rho_a.dtype
     want_lp = lp_dtype is not None
 
     kern = functools.partial(
         _kernel, nd=nd, nxp=nxp, W36=W36, N=N, p=float(p),
         n_tiles=n_tiles, ney=ny - 1, nex=nx - 1, want_lp=want_lp,
+        sym_map=sym_map,
     )
     blk = lambda d0: pl.BlockSpec(
         (d0, _TY, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -289,7 +298,8 @@ def assembly_weights3d(plan, Kq, nd, nq):
     return W
 
 
-def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez):
+def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, sym_map=None,
+              nyp_c=None):
     # refs: rho_t, rho_m, rho_b, m_t, m_m, m_b, cout, dout
     rho = refs[0:3]
     msk = refs[3:6]
@@ -322,6 +332,7 @@ def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez):
     rowm = [msk[1][c, 0, 1 : 1 + YI, 1 : 1 + XI] for c in range(nd)]
     diags = [None] * nd
     zplane = jnp.zeros((nyp, nxp), rho[0].dtype)
+    zplane_c = jnp.zeros((nyp_c or nyp, nxp), rho[0].dtype)
     for ca in range(nd):
         for cb in range(nd):
             for dz in range(3):
@@ -329,6 +340,9 @@ def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez):
                     colm = msk[dz][cb, 0, dy : dy + YI, :]
                     for dx in range(3):
                         k = (ca * nd + cb) * 27 + dz * 9 + dy * 3 + dx
+                        if sym_map is not None and k not in sym_map:
+                            continue
+                        ko = k if sym_map is None else sym_map[k]
                         acc = None
                         for o in range(8):
                             w = W[k, o]
@@ -351,8 +365,8 @@ def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez):
                         if ca == cb and dz == dy == dx == 1:
                             plane = plane + (1.0 - rowm[ca])
                             diags[ca] = plane
-                        cout[k, 0] = zplane
-                        cout[k, 0, 1 : 1 + YI, 1 : 1 + XI] = plane
+                        cout[ko, 0] = zplane_c
+                        cout[ko, 0, 1 : 1 + YI, 1 : 1 + XI] = plane
     for c in range(nd):
         d = diags[c]
         dout[c, 0] = zplane
@@ -362,7 +376,7 @@ def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez):
 
 
 def _kernel3d_slab(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, atz,
-                   want_lp=False):
+                   want_lp=False, sym_map=None, nk=None, nyp_c=None):
     """atz output z-planes per program (amortizes per-op VPU overhead).
 
     refs: rho0, rho1, m0, m1, cout, dout[, lpout] — rho/mask arrive as
@@ -407,10 +421,11 @@ def _kernel3d_slab(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, atz,
 
     rowm = [m2[c, 1 : 1 + atz, 1 : 1 + YI, 1 : 1 + XI] for c in range(nd)]
     diags = [None] * nd
-    cout[...] = jnp.zeros((nd * nd * 27, atz, nyp, nxp), fdt)
+    nk_out = nd * nd * 27 if nk is None else nk
+    cout[...] = jnp.zeros((nk_out, atz, nyp_c or nyp, nxp), fdt)
     if lpout is not None:
         lpout[...] = jnp.zeros(
-            (nd * nd * 27, atz, nyp, nxp), lpout.dtype
+            (nk_out, atz, nyp_c or nyp, nxp), lpout.dtype
         )
     for ca in range(nd):
         for cb in range(nd):
@@ -420,6 +435,9 @@ def _kernel3d_slab(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, atz,
                     colm = colm_z[:, dy : dy + YI, :]
                     for dx in range(3):
                         k = (ca * nd + cb) * 27 + dz * 9 + dy * 3 + dx
+                        if sym_map is not None and k not in sym_map:
+                            continue
+                        ko = k if sym_map is None else sym_map[k]
                         acc = None
                         for o in range(8):
                             w = W[k, o]
@@ -442,9 +460,9 @@ def _kernel3d_slab(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, atz,
                         if ca == cb and dz == dy == dx == 1:
                             plane = plane + (1.0 - rowm[ca])
                             diags[ca] = plane
-                        cout[k, :, 1 : 1 + YI, 1 : 1 + XI] = plane
+                        cout[ko, :, 1 : 1 + YI, 1 : 1 + XI] = plane
                         if lpout is not None:
-                            lpout[k, :, 1 : 1 + YI, 1 : 1 + XI] = (
+                            lpout[ko, :, 1 : 1 + YI, 1 : 1 + XI] = (
                                 plane.astype(lpout.dtype)
                             )
     for c in range(nd):
@@ -456,7 +474,7 @@ def _kernel3d_slab(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, atz,
 
 
 def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
-                     lp_dtype=None, interpret=False):
+                     lp_dtype=None, sym=False, interpret=False):
     """3D density grid -> packed eliminated coefficients + inv diagonal.
 
     Args:
@@ -474,13 +492,24 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
         (coeff_k, invd_k[, coeff_lp_k]): (nd*nd*27, nz_pad, ny+2, nxp),
         (nd, nz_pad, ny+2, nxp) — ``pallas_smooth`` 3D layouts.
     """
-    from .pallas_smooth import _geom3d, _nzpad
+    from .pallas_smooth import _geom3d, _nyp8, _nzpad, sym_planes_3d
 
     W = np.asarray(W)
     N = np.asarray(N)
     nyp, nxp = _geom3d(ny, nx)
     nz_pad = _nzpad(nz, tz)
-    nk = nd * nd * 27
+    sym_map = None
+    nyp_c = nyp
+    if sym:
+        sym_map = {
+            k: si for si, (k, *_r) in enumerate(sym_planes_3d(nd))
+        }
+        nyp_c = _nyp8(ny)  # sym consumers DMA 8-aligned row windows
+    nk = nd * nd * 27 if sym_map is None else len(sym_map)
+    # sym consumers need a forward z-halo plane: emit one extra
+    # (all-zero-mask) z-tile so the packed array has >= nz_pad + 1
+    # planes without an extra full-array pad-copy
+    zext_tiles = 1 if sym else 0
     dt = rho_a.dtype
 
     blk = lambda d0: pl.BlockSpec(
@@ -497,14 +526,23 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
     )
     kern = functools.partial(
         _kernel3d, nd=nd, nyp=nyp, nxp=nxp, W=W, N=N, p=float(p),
-        ney=ny - 1, nex=nx - 1, nez=nz - 1,
+        ney=ny - 1, nex=nx - 1, nez=nz - 1, sym_map=sym_map,
+        nyp_c=nyp_c,
     )
     esize = np.dtype(dt).itemsize
-    slab_buf = 2 * (nk + 3 * nd + 3) * tz * nyp * nxp * esize
-    if tz >= 2 and slab_buf <= 128 * 1024 * 1024:
+    # double-buffered windows: coeff (+ bf16 lp copy) outputs at nyp_c
+    # rows, rho/mask inputs, plus the kernel's Cq3 material volumes
+    lp_frac = 0.5 if lp_dtype is not None else 0.0
+    slab_buf = (
+        2 * tz * nxp * esize
+        * (int(nk * nyp_c * (1 + lp_frac)) + (3 * nd + 3) * nyp)
+        + 8 * (tz + 1) * nyp * nxp * esize
+    )
+    if tz >= 2 and slab_buf <= 100 * 1024 * 1024:
         # slab kernel: tz output planes per program, rho/mask as two
         # consecutive tz-blocks covering the one-plane z-halo
-        grid = nz_pad // tz
+        grid = nz_pad // tz + zext_tiles
+        nz_out = grid * tz
         P = (grid + 1) * tz
         padz = P - int(rho_a.shape[0])
         if padz > 0:
@@ -527,17 +565,22 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
         kern = functools.partial(
             _kernel3d_slab, nd=nd, nyp=nyp, nxp=nxp, W=W, N=N,
             p=float(p), ney=ny - 1, nex=nx - 1, nez=nz - 1, atz=tz,
-            want_lp=lp_dtype is not None,
+            want_lp=lp_dtype is not None, sym_map=sym_map, nk=nk,
+            nyp_c=nyp_c,
         )
-        out_specs = [sblk(nk), sblk(nd)]
+        scblk = lambda d0: pl.BlockSpec(
+            (d0, tz, nyp_c, nxp), lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs = [scblk(nk), sblk(nd)]
         out_shape = [
-            jax.ShapeDtypeStruct((nk, nz_pad, nyp, nxp), dt),
-            jax.ShapeDtypeStruct((nd, nz_pad, nyp, nxp), dt),
+            jax.ShapeDtypeStruct((nk, nz_out, nyp_c, nxp), dt),
+            jax.ShapeDtypeStruct((nd, nz_out, nyp, nxp), dt),
         ]
         if lp_dtype is not None:
-            out_specs.append(sblk(nk))
+            out_specs.append(scblk(nk))
             out_shape.append(
-                jax.ShapeDtypeStruct((nk, nz_pad, nyp, nxp), lp_dtype)
+                jax.ShapeDtypeStruct((nk, nz_out, nyp_c, nxp), lp_dtype)
             )
         with jax.enable_x64(False):
             outs = pl.pallas_call(
@@ -548,7 +591,8 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
                 out_shape=tuple(out_shape),
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=min(
-                        128 * 1024 * 1024, slab_buf + (1 << 24)
+                        128 * 1024 * 1024,
+                        slab_buf + slab_buf // 2 + (1 << 24),
                     )
                 ),
                 interpret=interpret,
@@ -556,16 +600,31 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
         return outs
 
     buf = 2 * (nk + nd + 3 + 3 * nd) * nyp * nxp * esize
+    if zext_tiles:
+        # the extra all-zero forward-halo plane shifts the input
+        # windows one past the packed extent (tiny arrays — pad-copy)
+        rho_a = jnp.pad(rho_a, ((0, zext_tiles), (0, 0), (0, 0)))
+        maskf_a = jnp.pad(
+            maskf_a, ((0, 0), (0, zext_tiles), (0, 0), (0, 0))
+        )
+    cblk = lambda d0: pl.BlockSpec(
+        (d0, 1, nyp_c, nxp), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     with jax.enable_x64(False):
         coeff_k, invd_k = pl.pallas_call(
             kern,
-            grid=(nz_pad,),
+            grid=(nz_pad + zext_tiles,),
             in_specs=[rblk(0), rblk(1), rblk(2), mblk(0), mblk(1),
                       mblk(2)],
-            out_specs=(blk(nk), blk(nd)),
+            out_specs=(cblk(nk), blk(nd)),
             out_shape=(
-                jax.ShapeDtypeStruct((nk, nz_pad, nyp, nxp), dt),
-                jax.ShapeDtypeStruct((nd, nz_pad, nyp, nxp), dt),
+                jax.ShapeDtypeStruct(
+                    (nk, nz_pad + zext_tiles, nyp_c, nxp), dt
+                ),
+                jax.ShapeDtypeStruct(
+                    (nd, nz_pad + zext_tiles, nyp, nxp), dt
+                ),
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(

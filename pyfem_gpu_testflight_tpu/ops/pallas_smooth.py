@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -49,6 +50,64 @@ __all__ = [
 
 _PADY = 8  # top halo rows (also DMA row-alignment unit)
 
+
+@functools.lru_cache(maxsize=None)
+def sym_planes_3d(nd):
+    """Kept-plane list for symmetric 3D (27-point) storage.
+
+    The split is chosen so reconstruction needs coefficients only one
+    z-plane *ahead* (never behind): keep all dz=0 planes (partner
+    dz=2 reconstructs from z+1), drop all dz=2, and keep the 2D-rule
+    half of dz=1.  123 of 243 planes for nd=3, 14 of 27 for nd=1.
+
+    Returns (k_full, ca, cb, dz, dy, dx, is_self) in storage order.
+    """
+    out = []
+    for a in range(nd):
+        for b in range(nd):
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        if dz == 2:
+                            continue
+                        selfp = False
+                        if dz == 1:
+                            k2 = (a * nd + b) * 9 + dy * 3 + dx
+                            p2 = (b * nd + a) * 9 + (2 - dy) * 3 + (2 - dx)
+                            if p2 < k2:
+                                continue
+                            selfp = p2 == k2
+                        k = (a * nd + b) * 27 + dz * 9 + dy * 3 + dx
+                        out.append((k, a, b, dz, dy, dx, selfp))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def sym_planes_2d(nd):
+    """Kept-plane list for symmetric (half-stencil) coefficient storage.
+
+    The BC-eliminated FEM operator is symmetric, so the stencil plane
+    at offset -d is the +d plane shifted: coeff[-d][i] = coeff[d][i-d]
+    (componentwise, (ca,cb,dy,dx) pairs with (cb,ca,2-dy,2-dx)).
+    Storing one plane per pair halves the smoother/matvec coefficient
+    HBM traffic — the kernels reconstruct the partner term from a
+    shifted read of the same VMEM window.
+
+    Returns a tuple of (k_full, ca, cb, dy, dx, is_self) in storage
+    order; 19 of 36 planes for nd=2, 5 of 9 for nd=1.
+    """
+    out = []
+    for a in range(nd):
+        for b in range(nd):
+            for dy in range(3):
+                for dx in range(3):
+                    k = (a * nd + b) * 9 + dy * 3 + dx
+                    pk = (b * nd + a) * 9 + (2 - dy) * 3 + (2 - dx)
+                    if pk < k:
+                        continue
+                    out.append((k, a, b, dy, dx, pk == k))
+    return tuple(out)
+
 # Each fused sweep (and the trailing residual) is valid one halo row
 # less than its input: the 8-row halo funds at most 7 halo-consuming
 # passes.  The elementwise first sweep from x = 0 consumes none.
@@ -66,12 +125,15 @@ def _geom(ny, nx, ty):
     return ny_pad, nxp
 
 
-def pack_coeff2d(coeff, ty=32, dtype=None):
+def pack_coeff2d(coeff, ty=32, dtype=None, sym=False):
     """(nd, nd, 3, 3, ny, nx) BC-eliminated planes -> packed kernel layout.
 
     dtype=bfloat16 halves the smoother's coefficient traffic (the
     kernel converts to the field dtype in registers); requires
     ty % 16 == 0 so DMA windows stay (16, 128)-tile aligned.
+    sym=True stores only the :func:`sym_planes_2d` half (requires a
+    symmetric operator — always true for the BC-eliminated FEM
+    stencils here).
     """
     nd = coeff.shape[0]
     ny, nx = coeff.shape[-2:]
@@ -79,9 +141,13 @@ def pack_coeff2d(coeff, ty=32, dtype=None):
     dt = dtype or coeff.dtype
     if jnp.dtype(dt).itemsize < 4:
         assert ty % 16 == 0
-    out = jnp.zeros((nd * nd * 9, ny_pad + 2 * _PADY, nxp), dt)
+    planes = coeff.reshape(nd * nd * 9, ny, nx)
+    if sym:
+        keep = np.asarray([k for (k, *_r) in sym_planes_2d(nd)])
+        planes = planes[keep]
+    out = jnp.zeros((planes.shape[0], ny_pad + 2 * _PADY, nxp), dt)
     return out.at[:, _PADY : _PADY + ny, 1 : 1 + nx].set(
-        coeff.reshape(nd * nd * 9, ny, nx).astype(dt)
+        planes.astype(dt)
     )
 
 
@@ -99,7 +165,7 @@ def unpack_field2d(uk, ny, nx):
 
 
 def _kernel(*refs, nd, TY, W, nxp, niter, x0_zero, b_zero, want_resid,
-            neg_resid, omega, n_tiles):
+            neg_resid, omega, n_tiles, sym_list=None):
     # refs: [c, d, (b), (x)] inputs, [x_out?, r_out?] outputs,
     #       [c_s, d_s, (b_s), (x_s), xw, sems] scratch
     idx = 0
@@ -177,6 +243,28 @@ def _kernel(*refs, nd, TY, W, nxp, niter, x0_zero, b_zero, want_resid,
 
     def matvec(xbuf):
         """A x on interior rows [1, W-1), cols [1, nxp-1)."""
+        if sym_list is not None:
+            # half-stencil storage: each stored plane (a, b, dy, dx)
+            # feeds acc[a] directly and, unless self-paired, feeds
+            # acc[b] through the symmetry identity
+            # coeff[(b,a,2-dy,2-dx)][i] = coeff[(a,b,dy,dx)][i+d-1]
+            # — a shifted read of the same VMEM window, so the
+            # transpose term is (cv * x[a]) sliced at (2-dy, 2-dx)
+            accs = [None] * nd
+
+            def add(c, t):
+                accs[c] = t if accs[c] is None else accs[c] + t
+
+            for si, (k, a, b, dy, dx, selfp) in enumerate(sym_list):
+                cv = c_s[slot, si]
+                if cv.dtype != fdt:
+                    cv = cv.astype(fdt)  # bf16 load, f32 math
+                add(a, cv[1 : 1 + WI, 1 : 1 + XI]
+                       * xbuf[b, dy : dy + WI, dx : dx + XI])
+                if not selfp:
+                    p = cv * xbuf[a]
+                    add(b, p[2 - dy : 2 - dy + WI, 2 - dx : 2 - dx + XI])
+            return accs
         accs = []
         for c in range(nd):
             acc = None
@@ -272,7 +360,11 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
     """
     nk, rows, nxp = coeff_k.shape
     nd = invd_k.shape[0]
-    assert nk == nd * nd * 9
+    sym_list = sym_planes_2d(nd)
+    if nk == nd * nd * 9:
+        sym_list = None  # full storage
+    else:
+        assert nk == len(sym_list), (nk, nd)
     ny_pad = rows - 2 * _PADY
     n_tiles = ny_pad // ty
     W = ty + 2 * _PADY
@@ -327,6 +419,7 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
         _kernel, nd=nd, TY=ty, W=W, nxp=nxp, niter=niter,
         x0_zero=x0_zero, b_zero=b_zero, want_resid=want_resid,
         neg_resid=neg_resid, omega=float(omega), n_tiles=n_tiles,
+        sym_list=sym_list,
     )
     # scoped-VMEM budget: the double-buffered coefficient windows alone
     # exceed the compiler's 16 MB default at wide grids; v5e has 128 MB
@@ -377,24 +470,38 @@ def _geom3d(ny, nx):
     return nyp, nxp
 
 
+def _nyp8(ny):
+    """Sym-coeff row count: manual DMA windows (the sym kernel's
+    (tz+1)-plane copies) need 8-sublane-aligned extents."""
+    return ((ny + 2 + 7) // 8) * 8
+
+
 def _nzpad(nz, tz):
     return ((nz + tz - 1) // tz) * tz
 
 
-def pack_coeff3d(coeff, tz=1, dtype=None):
+def pack_coeff3d(coeff, tz=1, dtype=None, sym=False):
     """(nd,nd,3,3,3,nz,ny,nx) eliminated -> (nk, nz_pad, ny+2, nxp).
 
     dtype=bfloat16 halves the smoother's dominant HBM traffic; the
     kernels convert to f32 in registers (FMA stays f32).
+    sym=True stores the :func:`sym_planes_3d` half with one extra
+    (zero) z-plane at the end — the sym kernel's +1 z-halo window.
     """
     nd = coeff.shape[0]
     nz, ny, nx = coeff.shape[-3:]
     nyp, nxp = _geom3d(ny, nx)
     dt = dtype or coeff.dtype
-    out = jnp.zeros((nd * nd * 27, _nzpad(nz, tz), nyp, nxp), dt)
-    return out.at[:, :nz, 1 : 1 + ny, 1 : 1 + nx].set(
-        coeff.reshape(nd * nd * 27, nz, ny, nx).astype(dt)
+    planes = coeff.reshape(nd * nd * 27, nz, ny, nx)
+    if sym:
+        keep = np.asarray([k for (k, *_r) in sym_planes_3d(nd)])
+        planes = planes[keep]
+        nyp = _nyp8(ny)
+    zext = 1 if sym else 0
+    out = jnp.zeros(
+        (planes.shape[0], _nzpad(nz, tz) + zext, nyp, nxp), dt
     )
+    return out.at[:, :nz, 1 : 1 + ny, 1 : 1 + nx].set(planes.astype(dt))
 
 
 def pack_field3d(u, zpad=0, tz=1):
@@ -463,6 +570,90 @@ def _kernel3d(*refs, nd, nyp, nxp, mode, neg_resid, omega, tz):
         out[c, :, 1 : 1 + YI, 1 : 1 + XI] = v
 
 
+def _kernel3d_sym(*refs, nd, nyp, nxp, mode, neg_resid, omega, tz,
+                  n_tiles, sym_list):
+    """Half-stencil 3D kernel: coeff arrives as a manually DMA'd
+    (tz+1)-plane window (double-buffered); the +1 z-halo plane feeds
+    the dz=2 partner reconstruction (sym_planes_3d keeps dz<=1, so
+    only a *forward* halo is needed)."""
+    idx = 0
+    cref = refs[idx]; idx += 1
+    dref = None
+    if mode == "sweep":
+        dref = refs[idx]; idx += 1
+    bref = None
+    if mode != "matvec":
+        bref = refs[idx]; idx += 1
+    x_t = refs[idx]; idx += 1
+    x_m = refs[idx]; idx += 1
+    x_b = refs[idx]; idx += 1
+    out = refs[idx]; idx += 1
+    c_s = refs[idx]; idx += 1
+    sems = refs[idx]
+
+    i = pl.program_id(0)
+
+    def copy(slot, t):
+        return pltpu.make_async_copy(
+            cref.at[:, pl.ds(t * tz, tz + 1)], c_s.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        copy((i + 1) % 2, i + 1).start()
+
+    slot = i % 2
+    copy(slot, i).wait()
+
+    YI, XI = nyp - 2, nxp - 2
+    xcat = jnp.concatenate([x_t[...], x_m[...], x_b[...]], axis=1)
+    fdt = xcat.dtype
+    accs = [None] * nd
+
+    def add(c, t):
+        accs[c] = t if accs[c] is None else accs[c] + t
+
+    for si, (k, a, b, dz, dy, dx, selfp) in enumerate(sym_list):
+        # coeff planes carry 8-aligned rows (_nyp8 >= nyp); slice to
+        # the field extent on load
+        cv = c_s[slot, si][:, :nyp, :]
+        if cv.dtype != fdt:
+            cv = cv.astype(fdt)  # bf16 load, f32 math
+        add(a, cv[0:tz, 1 : 1 + YI, 1 : 1 + XI] * xcat[
+            b, tz + dz - 1 : 2 * tz + dz - 1,
+            dy : dy + YI, dx : dx + XI,
+        ])
+        if not selfp:
+            # partner (b, a, 2-dz, 2-dy, 2-dx): coeff and x share the
+            # same shift, so slice one aligned elementwise product
+            p = cv * xcat[a, tz : 2 * tz + 1]
+            add(b, p[1 - dz : 1 - dz + tz,
+                     2 - dy : 2 - dy + YI,
+                     2 - dx : 2 - dx + XI])
+
+    for c in range(nd):
+        acc = accs[c]
+        if mode == "matvec":
+            v = -acc if not neg_resid else acc
+        elif mode == "resid":
+            bv = bref[c, :, 1 : 1 + YI, 1 : 1 + XI]
+            v = (acc - bv) if neg_resid else (bv - acc)
+        else:  # sweep
+            bv = bref[c, :, 1 : 1 + YI, 1 : 1 + XI]
+            v = xcat[c, tz : 2 * tz, 1 : 1 + YI, 1 : 1 + XI] + (
+                omega
+                * dref[c, :, 1 : 1 + YI, 1 : 1 + XI]
+                * (bv - acc)
+            )
+        out[c] = jnp.zeros((tz, nyp, nxp), v.dtype)
+        out[c, :, 1 : 1 + YI, 1 : 1 + XI] = v
+
+
 def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
                    mode="sweep", neg_resid=False, omega=0.6, tz=1,
                    interpret=False):
@@ -475,11 +666,23 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
     x_k must be packed with ``pack_field3d(x, zpad=1, tz=tz)``; all
     other operands and the result use the plain (zpad=0) layout with
     the same tz.  Returns the packed (nd, nz_pad, ny+2, nxp) result.
+
+    Half-stencil (``sym``) coefficient arrays are detected by plane
+    count; their z-extent must be >= nz_pad + 1 (the forward-halo
+    plane ``pack_coeff3d(sym=True)`` / the sym assembly emit).
     """
-    nk, nzp, nyp, nxp = coeff_k.shape
+    nk, nzc, nyc, nxp = coeff_k.shape
     nd = x_k.shape[0]
-    assert nk == nd * nd * 27
-    assert x_k.shape[1] == nzp + 2 * tz
+    nyp = x_k.shape[2]
+    nzp = x_k.shape[1] - 2 * tz
+    sym_list = sym_planes_3d(nd)
+    if nk == nd * nd * 27:
+        sym_list = None
+        assert nzc >= nzp and nyc == nyp
+    else:
+        assert nk == len(sym_list), (nk, nd)
+        assert nzc >= nzp + 1, "sym coeff needs the +1 z-halo plane"
+        assert nyc >= nyp and nyc % 8 == 0
     n_tiles = nzp // tz
 
     blk = lambda d0: pl.BlockSpec(
@@ -491,7 +694,10 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
         memory_space=pltpu.VMEM,
     )
     inputs = [coeff_k]
-    in_specs = [blk(nk)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY) if sym_list is not None
+        else blk(nk)
+    ]
     if mode == "sweep":
         inputs.append(invd_k)
         in_specs.append(blk(nd))
@@ -502,11 +708,28 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
     in_specs += [xblk(0), xblk(1), xblk(2)]
 
     esize = jnp.dtype(coeff_k.dtype).itemsize
-    buf_bytes = 2 * (nk + 3 * nd + 2 * nd + nd) * tz * nyp * nxp * esize
-    kern = functools.partial(
-        _kernel3d, nd=nd, nyp=nyp, nxp=nxp, mode=mode,
-        neg_resid=neg_resid, omega=float(omega), tz=tz,
-    )
+    scratch = None
+    if sym_list is None:
+        buf_bytes = 2 * (nk + 3 * nd + 2 * nd + nd) * tz * nyp * nxp * esize
+        kern = functools.partial(
+            _kernel3d, nd=nd, nyp=nyp, nxp=nxp, mode=mode,
+            neg_resid=neg_resid, omega=float(omega), tz=tz,
+        )
+    else:
+        buf_bytes = (
+            2 * nk * (tz + 1) * nyc * nxp * esize
+            + 2 * (3 * nd + 2 * nd + nd) * tz * nyp * nxp
+            * jnp.dtype(x_k.dtype).itemsize
+        )
+        kern = functools.partial(
+            _kernel3d_sym, nd=nd, nyp=nyp, nxp=nxp, mode=mode,
+            neg_resid=neg_resid, omega=float(omega), tz=tz,
+            n_tiles=n_tiles, sym_list=sym_list,
+        )
+        scratch = [
+            pltpu.VMEM((2, nk, tz + 1, nyc, nxp), coeff_k.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -516,6 +739,7 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
             out_shape=jax.ShapeDtypeStruct(
                 (nd, nzp, nyp, nxp), x_k.dtype
             ),
+            scratch_shapes=scratch or [],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
                     110 * 1024 * 1024, buf_bytes + (1 << 24)

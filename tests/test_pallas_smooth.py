@@ -340,3 +340,49 @@ def test_assembly_lp_output_matches_cast(dim):
     lp = np.asarray(lv.coeff_lp_k, np.float32)
     cast = np.asarray(lv.coeff_k.astype(jnp.bfloat16), np.float32)
     assert np.abs(lp - cast).max() == 0.0
+
+
+@pytest.mark.parametrize("nd_physics", [("elasticity", 2), ("poisson", 1)])
+def test_sym_storage_matches_full(nd_physics):
+    """Half-stencil (symmetric) coefficient storage == full storage.
+
+    Every fused_sweeps_2d mode must agree: the missing planes are
+    reconstructed from the symmetry identity
+    coeff[(cb,ca,2-dy,2-dx)][i] = coeff[(ca,cb,dy,dx)][i+d-1].
+    """
+    physics, nd = nd_physics
+    asm = multigrid.GMGAssembler(33, 17, 2.0, 1.0, physics, p=3.0,
+                                 dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    rho = jnp.asarray(rng.uniform(0.3, 1.0, 17 * 33), jnp.float32)
+    _, lv0 = asm.assemble(rho)
+    ny, nx = lv0.shape
+    ty = 16
+    ck_full = ps.pack_coeff2d(lv0.coeff_e, ty)
+    ck_sym = ps.pack_coeff2d(lv0.coeff_e, ty, sym=True)
+    assert ck_sym.shape[0] == len(ps.sym_planes_2d(nd)) < ck_full.shape[0]
+    dk = ps.pack_field2d(lv0.inv_diag, ty)
+    b = jnp.asarray(
+        np.where(np.asarray(lv0.mask), 0.0, rng.standard_normal((nd, ny, nx))),
+        jnp.float32,
+    )
+    x0 = jnp.asarray(
+        np.where(np.asarray(lv0.mask), 0.0, rng.standard_normal((nd, ny, nx))),
+        jnp.float32,
+    )
+    bk, xk = ps.pack_field2d(b, ty), ps.pack_field2d(x0, ty)
+    cases = [
+        (bk, None, dict(niter=2, want_resid=True)),            # presmooth
+        (None, xk, dict(niter=0, want_resid=True, neg_resid=True)),  # matvec
+        (bk, xk, dict(niter=2, want_resid=True)),              # postsmooth+r
+        (bk, xk, dict(niter=3, want_resid=False)),             # postsmooth
+    ]
+    for bin_, xin, kw in cases:
+        o1 = ps.fused_sweeps_2d(ck_full, dk, bin_, xin, interpret=True,
+                                ty=ty, **kw)
+        o2 = ps.fused_sweeps_2d(ck_sym, dk, bin_, xin, interpret=True,
+                                ty=ty, **kw)
+        if not isinstance(o1, (tuple, list)):
+            o1, o2 = (o1,), (o2,)
+        for a, c in zip(o1, o2):
+            assert float(jnp.abs(a - c).max()) < 1e-5, kw
