@@ -122,9 +122,20 @@ class Helmholtz(FEModel):
             inv_diag=self._inv_diag, rtol=self.rtol,
         ).x
 
+    def _check_size(self, x):
+        # jax gathers clamp out-of-bounds indices instead of raising
+        # (numpy in the reference raises IndexError), so a wrong-sized
+        # design vector would silently filter to garbage
+        if x.shape != (self.nnodes,):
+            raise ValueError(
+                f"Helmholtz expects a nodal field of shape "
+                f"({self.nnodes},), got {x.shape}"
+            )
+        return x
+
     def apply(self, x):
         """x -> rho = K^-1 R x."""
-        x = jnp.asarray(x, dtype=self.dtype)
+        x = self._check_size(jnp.asarray(x, dtype=self.dtype))
         if getattr(self, "_st", None) is not None:
             return self._st_fwd(self._coeffK, self._coeffR,
                                 self._st_inv_diag, x)
@@ -132,7 +143,7 @@ class Helmholtz(FEModel):
 
     def apply_gradient(self, gradrho):
         """d rho/d x transpose: g -> R^T K^-1 g (R is symmetric here)."""
-        g = jnp.asarray(gradrho, dtype=self.dtype)
+        g = self._check_size(jnp.asarray(gradrho, dtype=self.dtype))
         if getattr(self, "_st", None) is not None:
             return self._st_bwd(self._coeffK, self._coeffR,
                                 self._st_inv_diag, g)

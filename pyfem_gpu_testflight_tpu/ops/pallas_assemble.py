@@ -531,19 +531,33 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
     )
     esize = np.dtype(dt).itemsize
     # double-buffered windows: coeff (+ bf16 lp copy) outputs at nyp_c
-    # rows, rho/mask inputs, plus the kernel's Cq3 material volumes
+    # rows, rho/mask inputs, plus the kernel's Cq3 material volumes.
+    # The assembly slab granularity atz is decoupled from the layout
+    # tz (the smoother's z-tile): pick the largest divisor of tz whose
+    # buffers fit the VMEM budget — the emitted arrays have the same
+    # layout either way.
     lp_frac = 0.5 if lp_dtype is not None else 0.0
-    slab_buf = (
-        2 * tz * nxp * esize
+    slab_bytes = lambda a: (
+        2 * a * nxp * esize
         * (int(nk * nyp_c * (1 + lp_frac)) + (3 * nd + 3) * nyp)
-        + 8 * (tz + 1) * nyp * nxp * esize
+        + 8 * (a + 1) * nyp * nxp * esize
     )
-    if tz >= 2 and slab_buf <= 100 * 1024 * 1024:
-        # slab kernel: tz output planes per program, rho/mask as two
-        # consecutive tz-blocks covering the one-plane z-halo
-        grid = nz_pad // tz + zext_tiles
-        nz_out = grid * tz
-        P = (grid + 1) * tz
+    # Mosaic's scoped-VMEM stack runs ~2.5x the window estimate (it
+    # stacks unrolled temporaries beyond the declared buffers), so the
+    # budget keeps 3x + margin under the 128 MB VMEM.
+    atz = max(tz, 2)  # tz=1 layouts still assemble in 2-plane slabs
+    while atz >= 2 and slab_bytes(atz) > 36 * 1024 * 1024:
+        atz //= 2
+    if atz >= 2:
+        # slab kernel: atz output planes per program, rho/mask as two
+        # consecutive atz-blocks covering the one-plane z-halo.  The
+        # output z-extent rounds nz_pad up to the slab grid (padding
+        # planes carry zero coefficients; consumers never read past
+        # their own z-extent).
+        slab_buf = slab_bytes(atz)
+        grid = -(-nz_pad // atz) + zext_tiles
+        nz_out = grid * atz
+        P = (grid + 1) * atz
         padz = P - int(rho_a.shape[0])
         if padz > 0:
             rho_a = jnp.pad(rho_a, ((0, padz), (0, 0), (0, 0)))
@@ -551,25 +565,25 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
                 maskf_a, ((0, 0), (0, padz), (0, 0), (0, 0))
             )
         sblk = lambda d0: pl.BlockSpec(
-            (d0, tz, nyp, nxp), lambda i: (0, i, 0, 0),
+            (d0, atz, nyp, nxp), lambda i: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
         srblk = lambda off: pl.BlockSpec(
-            (tz, nyp, nxp), lambda i, o=off: (i + o, 0, 0),
+            (atz, nyp, nxp), lambda i, o=off: (i + o, 0, 0),
             memory_space=pltpu.VMEM,
         )
         smblk = lambda off: pl.BlockSpec(
-            (nd, tz, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
+            (nd, atz, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
             memory_space=pltpu.VMEM,
         )
         kern = functools.partial(
             _kernel3d_slab, nd=nd, nyp=nyp, nxp=nxp, W=W, N=N,
-            p=float(p), ney=ny - 1, nex=nx - 1, nez=nz - 1, atz=tz,
+            p=float(p), ney=ny - 1, nex=nx - 1, nez=nz - 1, atz=atz,
             want_lp=lp_dtype is not None, sym_map=sym_map, nk=nk,
             nyp_c=nyp_c,
         )
         scblk = lambda d0: pl.BlockSpec(
-            (d0, tz, nyp_c, nxp), lambda i: (0, i, 0, 0),
+            (d0, atz, nyp_c, nxp), lambda i: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
         out_specs = [scblk(nk), sblk(nd)]
@@ -592,7 +606,7 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=min(
                         128 * 1024 * 1024,
-                        slab_buf + slab_buf // 2 + (1 << 24),
+                        3 * slab_buf + (1 << 24),
                     )
                 ),
                 interpret=interpret,
