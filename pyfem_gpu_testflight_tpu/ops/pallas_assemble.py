@@ -365,8 +365,8 @@ def _kernel3d(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, sym_map=None,
                         if ca == cb and dz == dy == dx == 1:
                             plane = plane + (1.0 - rowm[ca])
                             diags[ca] = plane
-                        cout[ko, 0] = zplane_c
-                        cout[ko, 0, 1 : 1 + YI, 1 : 1 + XI] = plane
+                        cout[0, ko] = zplane_c
+                        cout[0, ko, 1 : 1 + YI, 1 : 1 + XI] = plane
     for c in range(nd):
         d = diags[c]
         dout[c, 0] = zplane
@@ -422,10 +422,10 @@ def _kernel3d_slab(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, atz,
     rowm = [m2[c, 1 : 1 + atz, 1 : 1 + YI, 1 : 1 + XI] for c in range(nd)]
     diags = [None] * nd
     nk_out = nd * nd * 27 if nk is None else nk
-    cout[...] = jnp.zeros((nk_out, atz, nyp_c or nyp, nxp), fdt)
+    cout[...] = jnp.zeros((atz, nk_out, nyp_c or nyp, nxp), fdt)
     if lpout is not None:
         lpout[...] = jnp.zeros(
-            (nk_out, atz, nyp_c or nyp, nxp), lpout.dtype
+            (atz, nk_out, nyp_c or nyp, nxp), lpout.dtype
         )
     for ca in range(nd):
         for cb in range(nd):
@@ -460,9 +460,9 @@ def _kernel3d_slab(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, atz,
                         if ca == cb and dz == dy == dx == 1:
                             plane = plane + (1.0 - rowm[ca])
                             diags[ca] = plane
-                        cout[ko, :, 1 : 1 + YI, 1 : 1 + XI] = plane
+                        cout[:, ko, 1 : 1 + YI, 1 : 1 + XI] = plane
                         if lpout is not None:
-                            lpout[ko, :, 1 : 1 + YI, 1 : 1 + XI] = (
+                            lpout[:, ko, 1 : 1 + YI, 1 : 1 + XI] = (
                                 plane.astype(lpout.dtype)
                             )
     for c in range(nd):
@@ -489,8 +489,10 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
             (slab path only; the tz=1 path falls back to a cast).
 
     Returns:
-        (coeff_k, invd_k[, coeff_lp_k]): (nd*nd*27, nz_pad, ny+2, nxp),
-        (nd, nz_pad, ny+2, nxp) — ``pallas_smooth`` 3D layouts.
+        (coeff_k, invd_k[, coeff_lp_k]): z-major (nz_pad, nk, ny+2, nxp)
+        coefficients, (nd, nz_pad, ny+2, nxp) diagonal — the
+        ``pallas_smooth`` 3D layouts (z-major keeps the sweep kernels'
+        z-window DMAs contiguous).
     """
     from .pallas_smooth import _geom3d, _nyp8, _nzpad, sym_planes_3d
 
@@ -583,18 +585,18 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
             nyp_c=nyp_c,
         )
         scblk = lambda d0: pl.BlockSpec(
-            (d0, atz, nyp_c, nxp), lambda i: (0, i, 0, 0),
+            (atz, d0, nyp_c, nxp), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         out_specs = [scblk(nk), sblk(nd)]
         out_shape = [
-            jax.ShapeDtypeStruct((nk, nz_out, nyp_c, nxp), dt),
+            jax.ShapeDtypeStruct((nz_out, nk, nyp_c, nxp), dt),
             jax.ShapeDtypeStruct((nd, nz_out, nyp, nxp), dt),
         ]
         if lp_dtype is not None:
             out_specs.append(scblk(nk))
             out_shape.append(
-                jax.ShapeDtypeStruct((nk, nz_out, nyp_c, nxp), lp_dtype)
+                jax.ShapeDtypeStruct((nz_out, nk, nyp_c, nxp), lp_dtype)
             )
         with jax.enable_x64(False):
             outs = pl.pallas_call(
@@ -622,7 +624,7 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
             maskf_a, ((0, 0), (0, zext_tiles), (0, 0), (0, 0))
         )
     cblk = lambda d0: pl.BlockSpec(
-        (d0, 1, nyp_c, nxp), lambda i: (0, i, 0, 0),
+        (1, d0, nyp_c, nxp), lambda i: (i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     with jax.enable_x64(False):
@@ -634,7 +636,7 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
             out_specs=(cblk(nk), blk(nd)),
             out_shape=(
                 jax.ShapeDtypeStruct(
-                    (nk, nz_pad + zext_tiles, nyp_c, nxp), dt
+                    (nz_pad + zext_tiles, nk, nyp_c, nxp), dt
                 ),
                 jax.ShapeDtypeStruct(
                     (nd, nz_pad + zext_tiles, nyp, nxp), dt

@@ -481,8 +481,12 @@ def _nzpad(nz, tz):
 
 
 def pack_coeff3d(coeff, tz=1, dtype=None, sym=False):
-    """(nd,nd,3,3,3,nz,ny,nx) eliminated -> (nk, nz_pad, ny+2, nxp).
+    """(nd,nd,3,3,3,nz,ny,nx) eliminated -> (nz_pad, nk, ny+2, nxp).
 
+    z-major: the sweep kernels stream z-windows of all nk planes, so a
+    window slice must be one contiguous HBM chunk — plane-major storage
+    fragments each window DMA into nk strided ~18 KB chunks and caps
+    the (DMA-bound) kernels at ~190 GB/s on v5e.
     dtype=bfloat16 halves the smoother's dominant HBM traffic; the
     kernels convert to f32 in registers (FMA stays f32).
     sym=True stores the :func:`sym_planes_3d` half with one extra
@@ -499,9 +503,11 @@ def pack_coeff3d(coeff, tz=1, dtype=None, sym=False):
         nyp = _nyp8(ny)
     zext = 1 if sym else 0
     out = jnp.zeros(
-        (planes.shape[0], _nzpad(nz, tz) + zext, nyp, nxp), dt
+        (_nzpad(nz, tz) + zext, planes.shape[0], nyp, nxp), dt
     )
-    return out.at[:, :nz, 1 : 1 + ny, 1 : 1 + nx].set(planes.astype(dt))
+    return out.at[:nz, :, 1 : 1 + ny, 1 : 1 + nx].set(
+        planes.astype(dt).transpose(1, 0, 2, 3)
+    )
 
 
 def pack_field3d(u, zpad=0, tz=1):
@@ -546,7 +552,7 @@ def _kernel3d(*refs, nd, nyp, nxp, mode, neg_resid, omega, tz):
                 for dy in range(3):
                     for dx in range(3):
                         k = ((c * nd + c2) * 27 + dz * 9 + dy * 3 + dx)
-                        cv = cref[k, :, 1 : 1 + YI, 1 : 1 + XI]
+                        cv = cref[:, k, 1 : 1 + YI, 1 : 1 + XI]
                         if cv.dtype != fdt:
                             cv = cv.astype(fdt)  # bf16 load, f32 math
                         t = cv * xcat[
@@ -575,7 +581,8 @@ def _kernel3d_sym(*refs, nd, nyp, nxp, mode, neg_resid, omega, tz,
     """Half-stencil 3D kernel: coeff arrives as a manually DMA'd
     (tz+1)-plane window (double-buffered); the +1 z-halo plane feeds
     the dz=2 partner reconstruction (sym_planes_3d keeps dz<=1, so
-    only a *forward* halo is needed)."""
+    only a *forward* halo is needed).  z-major coeff storage makes
+    each window one contiguous HBM chunk (full DMA bandwidth)."""
     idx = 0
     cref = refs[idx]; idx += 1
     dref = None
@@ -595,7 +602,7 @@ def _kernel3d_sym(*refs, nd, nyp, nxp, mode, neg_resid, omega, tz,
 
     def copy(slot, t):
         return pltpu.make_async_copy(
-            cref.at[:, pl.ds(t * tz, tz + 1)], c_s.at[slot],
+            cref.at[pl.ds(t * tz, tz + 1)], c_s.at[slot],
             sems.at[slot],
         )
 
@@ -621,7 +628,7 @@ def _kernel3d_sym(*refs, nd, nyp, nxp, mode, neg_resid, omega, tz,
     for si, (k, a, b, dz, dy, dx, selfp) in enumerate(sym_list):
         # coeff planes carry 8-aligned rows (_nyp8 >= nyp); slice to
         # the field extent on load
-        cv = c_s[slot, si][:, :nyp, :]
+        cv = c_s[slot, :, si, :nyp, :]
         if cv.dtype != fdt:
             cv = cv.astype(fdt)  # bf16 load, f32 math
         add(a, cv[0:tz, 1 : 1 + YI, 1 : 1 + XI] * xcat[
@@ -665,13 +672,14 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
 
     x_k must be packed with ``pack_field3d(x, zpad=1, tz=tz)``; all
     other operands and the result use the plain (zpad=0) layout with
-    the same tz.  Returns the packed (nd, nz_pad, ny+2, nxp) result.
+    the same tz.  coeff_k is z-major, (nz, nk, ny+2, nxp).  Returns
+    the packed (nd, nz_pad, ny+2, nxp) result.
 
     Half-stencil (``sym``) coefficient arrays are detected by plane
     count; their z-extent must be >= nz_pad + 1 (the forward-halo
     plane ``pack_coeff3d(sym=True)`` / the sym assembly emit).
     """
-    nk, nzc, nyc, nxp = coeff_k.shape
+    nzc, nk, nyc, nxp = coeff_k.shape
     nd = x_k.shape[0]
     nyp = x_k.shape[2]
     nzp = x_k.shape[1] - 2 * tz
@@ -689,6 +697,10 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
         (d0, tz, nyp, nxp), lambda i: (0, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    cblk = pl.BlockSpec(
+        (tz, nk, nyp, nxp), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     xblk = lambda off: pl.BlockSpec(
         (nd, tz, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
         memory_space=pltpu.VMEM,
@@ -696,7 +708,7 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
     inputs = [coeff_k]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY) if sym_list is not None
-        else blk(nk)
+        else cblk
     ]
     if mode == "sweep":
         inputs.append(invd_k)
@@ -727,7 +739,7 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
             n_tiles=n_tiles, sym_list=sym_list,
         )
         scratch = [
-            pltpu.VMEM((2, nk, tz + 1, nyc, nxp), coeff_k.dtype),
+            pltpu.VMEM((2, tz + 1, nk, nyc, nxp), coeff_k.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     with jax.enable_x64(False):

@@ -329,10 +329,12 @@ class _ShardedGMGBase:
             packed = []
             for l in range(S):
                 _, ny_l, nx_l = self.shapes[l]
+                # z-major (nl, nk, nyp, nxp): the sweep kernel's
+                # z-window reads stay contiguous (see pack_coeff3d)
                 ck = pack3(
                     sh_coeff[l].reshape(
                         nd * nd * 27, self.nl[l], ny_l, nx_l
-                    ),
+                    ).transpose(1, 0, 2, 3),
                     ny_l, nx_l,
                 )
                 if smd is not None:

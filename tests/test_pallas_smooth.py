@@ -217,8 +217,8 @@ def test_fused_assembly3d_matches_xla(tz):
             nzl, nyl, nxl = a.shape
             # padding z-slabs carry the kernel's diag-fix (never read)
             d = jnp.abs(
-                a.coeff_k[:, :nzl, 1 : 1 + nyl, 1 : 1 + nxl]
-                - c.coeff_k[:, :nzl, 1 : 1 + nyl, 1 : 1 + nxl]
+                a.coeff_k[:nzl, :, 1 : 1 + nyl, 1 : 1 + nxl]
+                - c.coeff_k[:nzl, :, 1 : 1 + nyl, 1 : 1 + nxl]
             )
             assert float(d.max()) < 1e-5
     assert n_packed >= 1
