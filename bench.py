@@ -50,7 +50,8 @@ def run_3d(args, log):
         n, n, n, Lx, Ly, Lz, "elasticity", p=0.0, dtype=dtype,
         nu_pre=args.nu, nu_post=args.nu, smoother_dtype=sm_dtype,
         pallas_smooth=args.pallas_smooth, pallas_min=args.pallas_min,
-        pallas_tz=args.pallas_tz,
+        pallas_tz=args.pallas_tz, min_n=args.min_n3d,
+        coarse_dense_max=args.coarse_max,
         **({} if args.pallas_sym is None
            else {"pallas_sym": args.pallas_sym}),
     )
@@ -229,7 +230,14 @@ def main():
                          "smoother (flexible PCG; PCG operator stays "
                          "f32)")
     ap.add_argument("--min_n", type=int, default=5,
-                    help="coarsest-grid size floor")
+                    help="coarsest-grid size floor (2D)")
+    ap.add_argument("--min_n3d", type=int, default=3,
+                    help="coarsest-grid size floor (3D)")
+    ap.add_argument("--coarse-max", dest="coarse_max", type=int,
+                    default=4096,
+                    help="largest coarse-level dof count solved by the "
+                         "dense inverse (bigger truncates the level "
+                         "tail earlier)")
     ap.add_argument("--no-accuracy-extra", dest="no_accuracy_extra",
                     action="store_true",
                     help="skip the mixed-precision accuracy-mode extra "
@@ -278,7 +286,7 @@ def main():
     asm = multigrid.GMGAssembler(
         args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype,
         nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
-        smoother_dtype=sm_dtype,
+        coarse_dense_max=args.coarse_max, smoother_dtype=sm_dtype,
         pallas_smooth=args.pallas_smooth, pallas_ty=args.pallas_ty,
         pallas_min=args.pallas_min,
         **({} if args.pallas_sym is None

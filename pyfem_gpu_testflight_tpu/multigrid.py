@@ -448,6 +448,7 @@ class Level:
         diag = op.diagonal(self.coeff_e)
         self.inv_diag = 1.0 / jnp.where(diag == 0, 1.0, diag)
         self.chol = chol  # dense Cholesky factor for exact coarse solves
+        self.dense_inv = None  # explicit inverse (see dense_factor)
         # optional low-precision (bf16) coefficient copy: halves the
         # smoother's HBM traffic; requires flexible PCG outside
         self.coeff_lp = (
@@ -500,6 +501,7 @@ class Level:
         lv.shape = tuple(int(s) for s in shape)
         lv.nd = int(nd)
         lv.chol = None
+        lv.dense_inv = None
         lv.pallas = False
         lv.pallas3 = True
         lv.pallas_interpret = interpret
@@ -536,6 +538,7 @@ class Level:
         lv.shape = tuple(int(s) for s in shape)
         lv.nd = int(nd)
         lv.chol = None
+        lv.dense_inv = None
         lv.pallas = True
         lv.pallas3 = False
         lv.pallas_interpret = interpret
@@ -678,11 +681,19 @@ class Level:
         )
         return ps.unpack_field3d(out, nz, ny, nx)
 
-    def dense_factor(self):
-        """Dense Cholesky of the BC-constrained operator (coarse levels).
+    def dense_factor(self, inverse=True):
+        """Dense exact solve data for the coarsest level.
 
         vmaps the stencil matvec over the identity — traceable, used
         inside the jitted hierarchy assembly.
+
+        ``inverse=True`` (default) stores the explicit inverse: the
+        per-V-cycle coarse solve becomes one MXU matvec instead of two
+        triangular solves (TRSMs are latency-bound on TPU — blocked
+        sequential substitution).  The inverse of the BC-eliminated
+        operator is computed once per hierarchy assembly; it is a
+        preconditioner component, so the inverse's (bounded) loss of
+        backward stability vs ``cho_solve`` is immaterial.
         """
         n = int(np.prod(self.shape)) * self.nd
         eye = jnp.eye(n, dtype=self.coeff.dtype)
@@ -694,7 +705,12 @@ class Level:
             ).reshape(-1)
         )(eye)
         A = jnp.transpose(cols)
-        self.chol = jax.scipy.linalg.cho_factor(A)
+        chol = jax.scipy.linalg.cho_factor(A)
+        if inverse:
+            self.dense_inv = jax.scipy.linalg.cho_solve(chol, eye)
+            self.chol = None
+        else:
+            self.chol = chol
         return self
 
 
@@ -790,6 +806,9 @@ class GMG:
             getattr(lv, "pallas3", False) and jac and self.nu_pre >= 1
         )
         if k == len(self.levels) - 1:
+            if getattr(lv, "dense_inv", None) is not None:
+                x = lv.dense_inv @ b.reshape(-1)
+                return x.reshape(b.shape)
             if lv.chol is not None:
                 x = jax.scipy.linalg.cho_solve(lv.chol, b.reshape(-1))
                 return x.reshape(b.shape)
@@ -913,7 +932,8 @@ class GMGAssembler:
     def __init__(self, nx, ny, Lx, Ly, physics="elasticity", E=10.0, nu=0.3,
                  p=0.0, dtype=jnp.float32, nu_pre=2, nu_post=2, omega=0.7,
                  min_n=5, fine_mask=None, coarse_dense=True,
-                 elem_path="uniform", smoother_dtype=None,
+                 coarse_dense_max=4096, elem_path="uniform",
+                 smoother_dtype=None,
                  smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
                  pallas_ty=32, pallas_asm_min=8192, pallas_min=0,
                  pallas_sym=False):
@@ -949,6 +969,7 @@ class GMGAssembler:
         self.dtype = dtype
         self.nu_pre, self.nu_post, self.omega = nu_pre, nu_post, omega
         self.coarse_dense = bool(coarse_dense)
+        self.coarse_dense_max = int(coarse_dense_max)
         self.elem_path = elem_path
         self.smoother_dtype = smoother_dtype
         self.smoother, self.cheb_lam = smoother, cheb_lam
@@ -1186,7 +1207,8 @@ class GMGAssembler:
                                     pallas_sym=self.pallas_sym))
             rho_grid = _restrict_nodal(rho_grid)
         if self.coarse_dense and (
-            int(np.prod(levels[-1].shape)) * self.nd <= 4096
+            int(np.prod(levels[-1].shape)) * self.nd
+            <= self.coarse_dense_max
         ):
             levels[-1].dense_factor()
         gmg = GMG(levels, nu_pre=self.nu_pre, nu_post=self.nu_post,
@@ -1348,6 +1370,7 @@ class GMGAssembler3D:
     def __init__(self, nx, ny, nz, Lx, Ly, Lz, physics="elasticity",
                  E=10.0, nu=0.3, p=0.0, dtype=jnp.float32, nu_pre=2,
                  nu_post=2, omega=0.6, min_n=3, coarse_dense=True,
+                 coarse_dense_max=4096,
                  elem_path="uniform", smoother_dtype=None,
                  smoother="jacobi", cheb_lam=2.2, pallas_smooth=False,
                  pallas_min=0, pallas_asm_min=8192, pallas_tz=1,
@@ -1365,6 +1388,7 @@ class GMGAssembler3D:
         self.dtype = dtype
         self.nu_pre, self.nu_post, self.omega = nu_pre, nu_post, omega
         self.coarse_dense = bool(coarse_dense)
+        self.coarse_dense_max = int(coarse_dense_max)
         self.elem_path = elem_path
         self.smoother_dtype = smoother_dtype
         self.smoother, self.cheb_lam = smoother, cheb_lam
@@ -1516,7 +1540,8 @@ class GMGAssembler3D:
                                 pallas_sym=self.pallas_sym))
             rho_grid = rho_grid[0::2, 0::2, 0::2]
         if self.coarse_dense and (
-            int(np.prod(levels[-1].shape)) * self.nd <= 4096
+            int(np.prod(levels[-1].shape)) * self.nd
+            <= self.coarse_dense_max
         ):
             levels[-1].dense_factor()
         gmg = GMG(levels, nu_pre=self.nu_pre, nu_post=self.nu_post,

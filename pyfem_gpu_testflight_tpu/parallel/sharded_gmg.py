@@ -149,7 +149,7 @@ class _ShardedGMGBase:
         axis, D, S, nd, dim = self.axis, self.D, self.S, self.nd, self.dim
         nu_pre, nu_post = self.asm.nu_pre, self.asm.nu_post
         omega = self.asm.omega
-        rep_coeff, rep_mask, rep_invd, chol = rep
+        rep_coeff, rep_mask, rep_invd, dinv = rep
         fwd = [(i, i + 1) for i in range(D - 1)]
         bwd = [(i + 1, i) for i in range(D - 1)]
         offsets = list(itertools.product(range(3), repeat=dim))
@@ -249,9 +249,10 @@ class _ShardedGMGBase:
 
         def rep_cycle(i, b):
             if i == len(rep_ops) - 1:
-                if chol is not None:
-                    x = jax.scipy.linalg.cho_solve((chol, False),
-                                                   b.reshape(-1))
+                if dinv is not None:
+                    # explicit inverse: one matvec (matches the
+                    # single-device Level.dense_factor default)
+                    x = dinv @ b.reshape(-1)
                     return x.reshape(b.shape)
                 return rep_smooth(i, jnp.zeros_like(b), b, 24,
                                   x0_zero=True)
@@ -510,7 +511,7 @@ class _ShardedGMGBase:
             rep_invd.append(
                 jax.lax.with_sharding_constraint(lv.inv_diag, rep_sh)
             )
-        chol = levels[-1].chol[0] if levels[-1].chol is not None else None
+        dinv = getattr(levels[-1], "dense_inv", None)
 
         n0 = self.shapes[0][0]
         pad0 = D * self.nl[0] - n0
@@ -528,7 +529,7 @@ class _ShardedGMGBase:
             in_specs=(
                 [cspec] * S, [vspec] * S, [vspec] * S,
                 ([P()] * len(rep_coeff), [P()] * len(rep_mask),
-                 [P()] * len(rep_invd), None if chol is None else P()),
+                 [P()] * len(rep_invd), None if dinv is None else P()),
                 vspec, P(), P(),
             ),
             out_specs=(vspec, P(), P()),
@@ -536,7 +537,7 @@ class _ShardedGMGBase:
         )
         x, k, rn = solve(
             sh_coeff, sh_mask, sh_invd,
-            (rep_coeff, rep_mask, rep_invd, chol),
+            (rep_coeff, rep_mask, rep_invd, dinv),
             b, jnp.asarray(rtol, b.dtype), jnp.asarray(maxiter, jnp.int32),
         )
         x = x[:, :n0]
