@@ -159,11 +159,12 @@ def run_topo(args, log):
 
     dev.history.clear()
     x, rho = dev.optimize(max_iterations=args.topo_iters, verbose=False,
-                          log_every=args.topo_iters)
+                          log_every=max(1, args.topo_iters // 4))
     h0, h1 = dev.history[0], dev.history[-1]
     vol = float(model.volume(rho))
     log(f"[topo] {args.topo_iters} iters in {dev.elapsed:.2f}s "
-        f"({dev.s_per_iter:.4f} s/iter); compliance "
+        f"({dev.s_per_iter:.4f} s/iter, steady "
+        f"{dev.steady_s_per_iter:.4f}); compliance "
         f"{h0['obj']:.4f} -> {h1['obj']:.4f}, volume {vol:.4f}")
     print(json.dumps({
         "metric": (
@@ -178,6 +179,7 @@ def run_topo(args, log):
         # way — no published number exists, BASELINE.md)
         "vs_baseline": round(8.6 / dev.s_per_iter, 3),
         "iters": args.topo_iters,
+        "steady_s_per_iter": round(dev.steady_s_per_iter, 4),
         "compliance_first": h0["obj"],
         "compliance_last": h1["obj"],
         "volume": vol,
@@ -191,7 +193,7 @@ def main():
     ap.add_argument("--n3d", type=int, default=65,
                     help="3D config: nodes per axis")
     ap.add_argument("--topo-iters", dest="topo_iters", type=int,
-                    default=20, help="timed MMA iterations (topo config)")
+                    default=40, help="timed MMA iterations (topo config)")
     ap.add_argument("--r0", type=float, default=0.01,
                     help="Helmholtz filter radius (topo config)")
     ap.add_argument("--nx", type=int, default=1025)

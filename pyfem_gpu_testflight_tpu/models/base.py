@@ -206,6 +206,40 @@ class FEModel:
         self._gmg_shape = (nz, ny, nx)
         return self
 
+    def _k_dv_sens_structured(self, rho, phi, psi):
+        """Uniform-grid scatter-free d(phi^T K psi)/drho.
+
+        Valid when ``attach_structured_grid`` has been called (the GMG
+        assembler shares this model's physics and uniform geometry);
+        dispatched from the models' ``k_dv_sens``.  Same contract as the
+        generic einsum+segment_sum path but without the per-element
+        gather/scatter (86.8 ms -> sub-ms at 1M dof — it dominated the
+        fused topology-optimization iteration).
+        """
+        from ..ops.dia import interleave_to_planar
+
+        nd = self.ndof_per_node
+        shape = self._gmg_shape
+        to_planes = lambda v: interleave_to_planar(
+            jnp.asarray(v, self.dtype), nd
+        ).reshape((nd,) + shape)
+        out = self._gmg_asm.dv_sens(
+            jnp.asarray(rho, self.dtype).reshape(shape),
+            to_planes(phi), to_planes(psi),
+        )
+        return out.reshape(-1)
+
+    def _use_structured_sens(self, rho, phi, psi):
+        """True when the scatter-free uniform-grid sensitivity applies."""
+        asm = getattr(self, "_gmg_asm", None)
+        if asm is None or getattr(asm, "elem_path", None) != "uniform":
+            return False
+        # complex-step probes promote to complex: keep the reference
+        # einsum path (the oracle) for those
+        return not any(
+            jnp.iscomplexobj(v) for v in (rho, phi, psi)
+        )
+
     def attach_sharded_grid(self, mesh, nnodes_x, nnodes_y, nnodes_z=None,
                             **gmg_options):
         """Enable the multi-device sharded GMG solve path (2D quad4 or

@@ -173,6 +173,8 @@ class LinearElasticity(FEModel):
     def k_dv_sens(self, rho, phi, psi):
         """d(phi^T K psi)/d rho, nodal (pyfem.py:1872-1920)."""
         rho = self._as_nodal(rho)
+        if self._use_structured_sens(rho, phi, psi):
+            return self._k_dv_sens_structured(rho, phi, psi)
         return _dv_sens(
             self.Xe, self.dN, self.N, self.wq, self.conn, self.conn_dof,
             rho, self.p, self.mu, self.lam,

@@ -185,6 +185,8 @@ class LinearPoisson(FEModel):
     def k_dv_sens(self, rho, phi, psi):
         """d(phi^T K psi)/d rho, nodal (pyfem.py:1240-1276)."""
         rho = self._as_nodal(rho)
+        if self._use_structured_sens(rho, phi, psi):
+            return self._k_dv_sens_structured(rho, phi, psi)
         return _dv_sens(
             self.Xe, self.dN, self.N, self.wq, self.conn, rho, self.p,
             jnp.asarray(phi), jnp.asarray(psi),

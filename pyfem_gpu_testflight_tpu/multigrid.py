@@ -909,6 +909,74 @@ def _restrict_nodal(rho_grid):
     return rho_grid[0::2, 0::2]
 
 
+def _dv_sens_uniform(Kq, N, p, offsets, rho_grid, phi, psi):
+    """Nodal d(phi^T K(rho) psi)/drho on a uniform grid, scatter-free.
+
+    Uniform-geometry counterpart of the models' generic ``_dv_sens``
+    (gather -> per-element geometry chain -> segment_sum; reference
+    sensitivity einsums pyfem.py:1872-1920): with
+    ``Ke = sum_q ramp(rho_q) Kq`` (``assemble_uniform``) the gradient is
+
+        dc[m] = sum_{e ni m} sum_q ramp'(rho_q[e]) N[q, m_e]
+                                   (phi_e^T Kq psi_e)[e]
+
+    where phi_e/psi_e are shifted slices of the (nd, *grid) component
+    planes, the quadratic forms batch onto the MXU as one
+    ``(nq*ndpe, ndpe) @ (ndpe, nelems)`` contraction, and the
+    element -> node scatter is ``nnodes_per_elem`` zero-padded plane
+    adds.  Measured 86.8 ms -> sub-ms at 1M dof (the generic path's
+    segment_sum dominated the fused topology-optimization iteration).
+
+    Args:
+        Kq: (nq, ndpe, ndpe) unit element matrices (rows node*nd+comp,
+            nodes in ``offsets`` order).
+        N: (nq, nnodes_per_elem) shape values at quadrature points.
+        p: RAMP penalization parameter.
+        offsets: per-local-node grid offsets (_QUAD4_LOCAL/_HEX8_LOCAL).
+        rho_grid: nodal density, (ny, nx) or (nz, ny, nx).
+        phi, psi: (nd, *grid) dof component planes.
+
+    Returns:
+        (*grid,) nodal gradient (flatten for the dof-vector form).
+    """
+    from .models.base import ramp_deriv
+    from .ops.precision import einsum as p_einsum
+
+    nd = phi.shape[0]
+    esh = tuple(s - 1 for s in rho_grid.shape)
+
+    def sl(off, a):
+        return a[tuple(slice(o, o + e) for o, e in zip(off, esh))]
+
+    rho_e = [sl(off, rho_grid) for off in offsets]
+    nq = N.shape[0]
+    rho_q = jnp.stack(
+        [
+            sum(N[q, n] * rho_e[n] for n in range(1, len(offsets)))
+            + N[q, 0] * rho_e[0]
+            for q in range(nq)
+        ]
+    )
+    w = ramp_deriv(rho_q, p)  # (nq,) + esh
+    # element dof planes, row r = local_node * nd + comp
+    P = jnp.stack([sl(off, phi[a]) for off in offsets for a in range(nd)])
+    Q = jnp.stack([sl(off, psi[a]) for off in offsets for a in range(nd)])
+    Pf = P.reshape(P.shape[0], -1)
+    Qf = Q.reshape(Q.shape[0], -1)
+    Kqa = jnp.asarray(Kq, phi.dtype)
+    # s_q[e] = phi_e^T Kq psi_e for all q at once (MXU contraction)
+    Y = p_einsum("qrs,se->qre", Kqa, Qf)
+    s = p_einsum("re,qre->qe", Pf, Y).reshape((nq,) + esh)
+    ws = w * s
+    out = None
+    for n, off in enumerate(offsets):
+        contrib = sum(N[q, n] * ws[q] for q in range(1, nq)) + N[0, n] * ws[0]
+        pad = [(o, g - e - o) for o, g, e in zip(off, rho_grid.shape, esh)]
+        padded = jnp.pad(contrib, pad)
+        out = padded if out is None else out + padded
+    return out
+
+
 def _left_edge_mask(nx, ny, nd, extra_fixed=None):
     """(nd, ny, nx) mask: all components of the x=0 node column."""
     mask = np.zeros((nd, ny, nx), dtype=bool)
@@ -1123,6 +1191,18 @@ class GMGAssembler:
                 acc = acc + self.N[q, n] * rho_e[n]
             planes.append(acc)
         return ramp(jnp.stack(planes), self.p)
+
+    def dv_sens(self, rho_grid, phi, psi):
+        """Scatter-free d(phi^T K psi)/drho (see _dv_sens_uniform).
+
+        rho_grid: (ny, nx); phi/psi: (nd, ny, nx).  Returns (ny, nx).
+        """
+        from .ops.stencil import _QUAD4_LOCAL
+
+        return _dv_sens_uniform(
+            self.static_levels[0][5], self.N, self.p, _QUAD4_LOCAL,
+            rho_grid, phi, psi,
+        )
 
     def _elem_matrices(self, Xe, conn32, rho_flat):
         from .models.base import ramp
@@ -1475,6 +1555,18 @@ class GMGAssembler3D:
                 acc = acc + self.N[q, n] * rho_e[n]
             planes.append(acc)
         return ramp(jnp.stack(planes), self.p)
+
+    def dv_sens(self, rho_grid, phi, psi):
+        """Scatter-free d(phi^T K psi)/drho (see _dv_sens_uniform).
+
+        rho_grid: (nz, ny, nx); phi/psi: (nd, nz, ny, nx) planes.
+        """
+        from .ops.stencil import _HEX8_LOCAL
+
+        return _dv_sens_uniform(
+            self.static_levels[0][5], self.N, self.p, _HEX8_LOCAL,
+            rho_grid, phi, psi,
+        )
 
     def _elem_matrices(self, Xe, conn32, rho_flat):
         from .models.base import ramp

@@ -136,8 +136,17 @@ class DeviceTopo:
                 x, xold1, xold2, low, upp, g, dci_vec, -con, lb_v, ub_v,
                 k, **upd_kw,
             )
-            return (x_new, x, xold1, low, upp, u, obj, con, it, rn,
-                    jnp.linalg.norm(b_il), step_sz)
+            # one packed stats vector per iteration: the host drains a
+            # whole batch with a single D2H transfer (each separate
+            # scalar float() is its own ~25 ms round trip on a
+            # remote-tunneled chip — 7 scalars x 20 iterations cost
+            # ~3 s, dwarfing the 22 ms compute, measured round 3)
+            sdt = obj.dtype  # model dtype: full history precision
+            stats = jnp.stack([
+                obj, con.astype(sdt), it.astype(sdt), rn.astype(sdt),
+                jnp.linalg.norm(b_il).astype(sdt), step_sz.astype(sdt),
+            ])
+            return (x_new, x, xold1, low, upp, u, stats)
 
         self._step = jax.jit(step)
 
@@ -177,37 +186,55 @@ class DeviceTopo:
             (self.model.ndof_per_node,) + self.model._gmg_shape, dt
         )
 
-        pending = []  # (iter, obj, con, it, rn, bnorm, step) device scalars
+        pending = []  # (iter, packed (6,) stats device array)
 
         def drain():
-            for (k, obj, con, it, rn, bnorm, stp) in pending:
+            if not pending:
+                return
+            # ONE device->host transfer for the whole batch (per-scalar
+            # float() costs a full round trip each on a tunneled chip)
+            allstats = np.asarray(jnp.stack([s for _, s in pending]))
+            for (k, _), row in zip(pending, allstats):
+                obj, con, it, rn, bnorm, stp = (
+                    float(row[0]), float(row[1]), int(row[2]),
+                    float(row[3]), float(row[4]), float(row[5]),
+                )
                 _check_converged("gmg-pcg(topo)", rn,
-                                 self._rtol * float(bnorm), it)
-                rec = {"iter": int(k), "obj": float(obj),
-                       "con": [float(con)], "step": float(stp),
-                       "cg_iters": int(it)}
+                                 self._rtol * bnorm, it)
+                rec = {"iter": int(k), "obj": obj, "con": [con],
+                       "step": stp, "cg_iters": it}
                 self.history.append(rec)
                 if verbose:
                     print(f"[topo-dev] {rec['iter']:4d} "
-                          f"obj {rec['obj']: .8e} con {float(con): .3e} "
+                          f"obj {rec['obj']: .8e} con {con: .3e} "
                           f"cg {rec['cg_iters']:3d} step {rec['step']:.3e}")
                 if callback is not None:
                     callback(rec)
             pending.clear()
 
         t0 = time.time()
+        self.batch_marks = [(0, 0.0)]  # (iters done, wall) at drains
         for k in range(max_iterations):
-            (x, xold1, xold2, low, upp, u_prev, obj, con, it, rn, bnorm,
-             stp) = self._step(
+            (x, xold1, xold2, low, upp, u_prev, stats) = self._step(
                 x, xold1, xold2, low, upp, u_prev, k, lb_v, ub_v,
                 self._rhs_il, *self._fargs, self._dci,
             )
-            pending.append((k, obj, con, it, rn, bnorm, stp))
+            pending.append((k, stats))
             if (k + 1) % log_every == 0 or k + 1 == max_iterations:
                 drain()
+                self.batch_marks.append((k + 1, time.time() - t0))
         x.block_until_ready()
         self.elapsed = time.time() - t0
         self.s_per_iter = self.elapsed / max_iterations
+        # steady-state rate over the trailing half (drops the one-time
+        # first-dispatch/relay costs a long run amortizes anyway)
+        half = [(i, t) for (i, t) in self.batch_marks
+                if i >= max_iterations // 2]
+        if len(half) >= 2 and half[-1][0] > half[0][0]:
+            (i0, w0), (i1, w1) = half[0], half[-1]
+            self.steady_s_per_iter = (w1 - w0) / (i1 - i0)
+        else:
+            self.steady_s_per_iter = self.s_per_iter
         rho = self._filter_apply(x)
         return x, rho
 
