@@ -75,9 +75,9 @@ class LinearElasticity(FEModel):
         kernel="einsum",
     ):
         """kernel: "einsum" (reference path, any element/dtype) or
-        "pallas" (TPU fast path; quad4 or hex8 + float32 — the in-repo
-        analogue of the reference's A2DWrapper native kernels,
-        pyfem.py:2180; hex8 matches A2D's supported element,
+        "pallas" (TPU fast path; quad4/hex8/tet10/brick20 + float32 —
+        the in-repo analogue of the reference's A2DWrapper native
+        kernels, pyfem.py:2180, extended past A2D's hex8-only support,
         pyfem.py:2260-2264)."""
         ndims = np.asarray(X).shape[1]
         super().__init__(
@@ -91,18 +91,19 @@ class LinearElasticity(FEModel):
         self.nodal_force = dict(nodal_force or {})
         self._rhs = None
         if kernel == "pallas" and (
-            self.etype.name not in ("quad4", "hex8")
+            self.etype.name not in ("quad4", "hex8", "tet10", "brick20")
             or self.dtype != jnp.float32
         ):
             raise ValueError(
-                "kernel='pallas' requires quad4 or hex8 + float32"
+                "kernel='pallas' requires quad4/hex8/tet10/brick20 "
+                "+ float32"
             )
         self.kernel = kernel
         if kernel == "pallas":
-            if self.etype.name == "hex8":
-                from ..ops.pallas_stiffness3d import transpose_xe_hex8
+            if self.etype.ndims == 3:
+                from ..ops.pallas_stiffness3d import transpose_xe_3d
 
-                self._XeT = transpose_xe_hex8(self.Xe)
+                self._XeT = transpose_xe_3d(self.Xe)
             else:
                 from ..ops.pallas_stiffness import transpose_xe
 
@@ -115,11 +116,12 @@ class LinearElasticity(FEModel):
         if self.kernel == "pallas" and not jnp.iscomplexobj(rho):
             interp = jax.default_backend() == "cpu"
             cqT = _cq_transposed(self.N, self.conn, rho, self.p)
-            if self.etype.name == "hex8":
+            if self.etype.ndims == 3:
                 from ..ops import pallas_stiffness3d as pk3
 
-                KeT = pk3.elasticity_stiffness_hex8(
-                    self._XeT, cqT, self.mu, self.lam, interpret=interp
+                KeT = pk3.elasticity_stiffness_3d(
+                    self._XeT, cqT, self.mu, self.lam,
+                    etype=self.etype.name, interpret=interp
                 )
             else:
                 from ..ops import pallas_stiffness as pk

@@ -55,9 +55,10 @@ class LinearPoisson(FEModel):
         kappa0: nominal conductivity (kept for API parity; like the
             reference, the stiffness uses the RAMP factor only).
         p: RAMP penalization parameter.
-        kernel: "einsum" (any element/dtype) or "pallas" (quad4/hex8
-            + float32 native element kernels — the A2DWrapper role,
-            pyfem.py:2180, 2260-2264).
+        kernel: "einsum" (any element/dtype) or "pallas"
+            (quad4/hex8/tet10/brick20 + float32 native element kernels —
+            the A2DWrapper role, pyfem.py:2180, extended past its
+            hex8-only support, pyfem.py:2260-2264).
     """
 
     def __init__(
@@ -81,18 +82,19 @@ class LinearPoisson(FEModel):
         self.p = float(p)
         self._rhs = None
         if kernel == "pallas" and (
-            self.etype.name not in ("quad4", "hex8")
+            self.etype.name not in ("quad4", "hex8", "tet10", "brick20")
             or self.dtype != jnp.float32
         ):
             raise ValueError(
-                "kernel='pallas' requires quad4 or hex8 + float32"
+                "kernel='pallas' requires quad4/hex8/tet10/brick20 "
+                "+ float32"
             )
         self.kernel = kernel
         if kernel == "pallas":
-            if self.etype.name == "hex8":
-                from ..ops.pallas_stiffness3d import transpose_xe_hex8
+            if self.etype.ndims == 3:
+                from ..ops.pallas_stiffness3d import transpose_xe_3d
 
-                self._XeT = transpose_xe_hex8(self.Xe)
+                self._XeT = transpose_xe_3d(self.Xe)
             else:
                 from ..ops.pallas_stiffness import transpose_xe
 
@@ -109,11 +111,12 @@ class LinearPoisson(FEModel):
             )
             cqT = jnp.transpose(ramp(rho_q, self.p))
             interp = jax.default_backend() == "cpu"
-            if self.etype.name == "hex8":
+            if self.etype.ndims == 3:
                 from ..ops import pallas_stiffness3d as pk3
 
-                KeT = pk3.poisson_stiffness_hex8(
-                    self._XeT, cqT, interpret=interp
+                KeT = pk3.poisson_stiffness_3d(
+                    self._XeT, cqT, etype=self.etype.name,
+                    interpret=interp
                 )
             else:
                 from ..ops import pallas_stiffness as pk

@@ -204,3 +204,40 @@ def test_model_hex8_pallas_kernel():
     with pytest.raises(ValueError):
         fem.LinearPoisson("tri3", X[:, :2] * 0, np.zeros((1, 3), int),
                           kernel="pallas", dtype=jnp.float32)
+
+
+def test_model_quadratic_pallas_kernels():
+    """tet10/brick20 Pallas element kernels behind the model API —
+    past the reference A2D wrapper's hex8-only support
+    (pyfem.py:2260-2264); gated against the einsum path on distorted
+    meshes."""
+    rng = np.random.RandomState(5)
+    for etype, mesh_et, n in (("tet10", "tet", 5), ("brick20", "brick20", 5)):
+        creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                     element_type=mesh_et)
+        conn, X, dof_fixed, force = (
+            creator.create_linear_elasticity_problem()
+        )
+        X = np.asarray(X, float) + 0.01 * rng.randn(*np.asarray(X).shape)
+        kw = dict(dtype=jnp.float32)
+        rho = jnp.asarray(0.4 + 0.6 * rng.rand(X.shape[0]), jnp.float32)
+
+        m_ref = fem.LinearElasticity(etype, X, conn, dof_fixed, None,
+                                     force, p=3.0, **kw)
+        m_pal = fem.LinearElasticity(etype, X, conn, dof_fixed, None,
+                                     force, p=3.0, kernel="pallas", **kw)
+        np.testing.assert_allclose(
+            np.asarray(m_pal.element_jacobian(rho)),
+            np.asarray(m_ref.element_jacobian(rho)),
+            rtol=3e-5, atol=3e-5,
+        )
+
+        mp_ref = fem.LinearPoisson(etype, X, conn, dof_fixed[::3] // 3,
+                                   **kw)
+        mp_pal = fem.LinearPoisson(etype, X, conn, dof_fixed[::3] // 3,
+                                   kernel="pallas", **kw)
+        np.testing.assert_allclose(
+            np.asarray(mp_pal.element_jacobian(rho)),
+            np.asarray(mp_ref.element_jacobian(rho)),
+            rtol=3e-5, atol=3e-5,
+        )
