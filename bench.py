@@ -129,26 +129,48 @@ def run_topo(args, log):
     import pyfem_gpu_testflight_tpu as fem
     from pyfem_gpu_testflight_tpu.opt import DeviceTopo
 
-    nx, ny = args.nx, args.ny
     dtype = jnp.dtype(args.dtype)
-    creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny,
-                                 element_type="quad")
-    conn, X, dof_fixed, nodal_force = (
-        creator.create_linear_elasticity_problem()
-    )
-    model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
-                                 nodal_force, p=3.0, dtype=dtype)
-    log(f"topo: state ndof={model.ndof} design nvars={model.nnodes}")
     sm_dtype = jnp.bfloat16 if args.smoother_dtype == "bfloat16" else None
     pal = args.pallas_smooth and jax.default_backend() != "cpu"
-    model.attach_structured_grid(
-        nx, ny, nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
-        smoother_dtype=sm_dtype, pallas_smooth=pal,
-        pallas_ty=args.pallas_ty, pallas_min=args.pallas_min,
-    )
-    filtr = fem.Helmholtz(args.r0, "quad4", np.asarray(X), conn,
-                          dtype=dtype, rtol=1e-6)
-    filtr.attach_structured_grid(nx, ny)
+    if args.topo_3d:
+        # the reference's 3D block workload (topo.py:150-152, 64x32x32
+        # nodes) at the GMG-friendly odd sizes
+        n = args.n3d_topo
+        nx, ny, nz = 2 * n - 1, n, n
+        creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny,
+                                     nnodes_z=nz, element_type="block")
+        conn, X, dof_fixed, nodal_force = (
+            creator.create_linear_elasticity_problem()
+        )
+        model = fem.LinearElasticity("hex8", X, conn, dof_fixed, None,
+                                     nodal_force, p=3.0, dtype=dtype)
+        log(f"topo3d: state ndof={model.ndof} design nvars={model.nnodes}")
+        model.attach_structured_grid(
+            nx, ny, nz, nu_pre=args.nu, nu_post=args.nu,
+            min_n=args.min_n3d, smoother_dtype=sm_dtype,
+            pallas_smooth=pal, pallas_tz=args.pallas_tz,
+        )
+        filtr = fem.Helmholtz(args.r0, "hex8", np.asarray(X), conn,
+                              dtype=dtype, rtol=1e-6)
+        filtr.attach_structured_grid(nx, ny, nz)
+    else:
+        nx, ny = args.nx, args.ny
+        creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny,
+                                     element_type="quad")
+        conn, X, dof_fixed, nodal_force = (
+            creator.create_linear_elasticity_problem()
+        )
+        model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                     nodal_force, p=3.0, dtype=dtype)
+        log(f"topo: state ndof={model.ndof} design nvars={model.nnodes}")
+        model.attach_structured_grid(
+            nx, ny, nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
+            smoother_dtype=sm_dtype, pallas_smooth=pal,
+            pallas_ty=args.pallas_ty, pallas_min=args.pallas_min,
+        )
+        filtr = fem.Helmholtz(args.r0, "quad4", np.asarray(X), conn,
+                              dtype=dtype, rtol=1e-6)
+        filtr.attach_structured_grid(nx, ny)
     dev = DeviceTopo(model, filtr, fixed_volume=0.4, rtol=args.rtol,
                      maxiter=args.maxiter)
 
@@ -166,11 +188,12 @@ def run_topo(args, log):
         f"({dev.s_per_iter:.4f} s/iter, steady "
         f"{dev.steady_s_per_iter:.4f}); compliance "
         f"{h0['obj']:.4f} -> {h1['obj']:.4f}, volume {vol:.4f}")
+    dim = "3D hex8" if args.topo_3d else "2D quad4"
     print(json.dumps({
         "metric": (
             f"SIMP topology optimization s/MMA-iteration (fused device "
-            f"loop), {model.ndof} state dof, {model.nnodes} design "
-            f"vars, {args.dtype}, gmg-pcg rtol={args.rtol}"
+            f"loop, {dim}), {model.ndof} state dof, {model.nnodes} "
+            f"design vars, {args.dtype}, gmg-pcg rtol={args.rtol}"
         ),
         "value": round(dev.s_per_iter, 4),
         "unit": "s/iter",
@@ -194,6 +217,11 @@ def main():
                     help="3D config: nodes per axis")
     ap.add_argument("--topo-iters", dest="topo_iters", type=int,
                     default=40, help="timed MMA iterations (topo config)")
+    ap.add_argument("--topo-3d", dest="topo_3d", action="store_true",
+                    help="topo config on the 3D hex8 cantilever "
+                         "(reference topo.py element_type='block')")
+    ap.add_argument("--n3d-topo", dest="n3d_topo", type=int, default=33,
+                    help="3D topo: nodes per y/z axis (x gets 2n-1)")
     ap.add_argument("--r0", type=float, default=0.01,
                     help="Helmholtz filter radius (topo config)")
     ap.add_argument("--nx", type=int, default=1025)
