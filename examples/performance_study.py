@@ -19,17 +19,20 @@ import pyfem_gpu_testflight_tpu as fem
 from pyfem_gpu_testflight_tpu.ops import geometry, stiffness
 
 
-def build(n, problem, dtype, kernel="einsum"):
+_MESH_ET = {"hex8": "block", "tet10": "tet", "brick20": "brick20"}
+
+
+def build(n, problem, dtype, kernel="einsum", etype="hex8"):
     creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
-                                 element_type="block")
+                                 element_type=_MESH_ET[etype])
     conn, X, dof_fixed = creator.create_poisson_problem()
     if problem == "elasticity":
-        model = fem.LinearElasticity("hex8", X, conn, [], None, {},
+        model = fem.LinearElasticity(etype, X, conn, [], None, {},
                                      dtype=dtype, kernel=kernel)
     elif problem == "helmholtz":
-        model = fem.Helmholtz(0.05, "hex8", X, conn, dtype=dtype)
+        model = fem.Helmholtz(0.05, etype, X, conn, dtype=dtype)
     else:
-        model = fem.LinearPoisson("hex8", X, conn, [], dtype=dtype,
+        model = fem.LinearPoisson(etype, X, conn, [], dtype=dtype,
                                   kernel=kernel)
     return model
 
@@ -43,8 +46,13 @@ def main():
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--kernel", choices=["einsum", "pallas"],
                    default="einsum",
-                   help="model-level element kernel (pallas = the hex8 "
-                        "TPU kernels, the A2DWrapper role)")
+                   help="model-level element kernel (pallas = the 3D "
+                        "TPU kernels, the A2DWrapper role extended to "
+                        "tet10/brick20)")
+    p.add_argument("--etype", choices=["hex8", "tet10", "brick20"],
+                   default="hex8",
+                   help="element type for the sweep (tet10/brick20 "
+                        "need odd node counts)")
     args = p.parse_args()
 
     dtype = jnp.dtype(args.dtype)
@@ -52,7 +60,8 @@ def main():
     for problem in args.problems:
         for n in args.sizes:
             kern = args.kernel if problem != "helmholtz" else "einsum"
-            model = build(n, problem, dtype, kernel=kern)
+            model = build(n, problem, dtype, kernel=kern,
+                          etype=args.etype)
             rho = jnp.ones((model.nnodes,), dtype=dtype)
 
             if problem == "helmholtz":
@@ -76,7 +85,8 @@ def main():
             dt = (time.time() - t0) / args.repeats
             ndof = model.ndof
             rows.append(
-                {"problem": problem, "kernel": kern, "n": n, "ndof": ndof,
+                {"problem": problem, "kernel": kern,
+                 "etype": args.etype, "n": n, "ndof": ndof,
                  "nelems": model.nelems, "t_ke_s": round(dt, 6),
                  "elems_per_s": round(model.nelems / dt, 1)}
             )
