@@ -905,8 +905,17 @@ def _grid_sizes(nx, ny, min_n=5):
 
 
 def _restrict_nodal(rho_grid):
-    """Injection restriction of a nodal field on the (ny, nx) grid."""
-    return rho_grid[0::2, 0::2]
+    """Injection restriction of a nodal field (even entries per axis).
+
+    Implemented as reshape-based de-interleaving, NOT ``[0::2, 0::2]``:
+    a stride-2 lane slice feeding the Pallas assembly pack relayouts
+    pathologically (measured 1.4 ms for a quarter-size level whose
+    assembly kernel alone is 0.1 ms — 5x the entire 8-level hierarchy
+    assembly; same family as the conv-transfer relayouts in the
+    V-cycle, see restrict2d_il)."""
+    for ax in range(rho_grid.ndim):
+        rho_grid = _deinterleave2(rho_grid, ax)[0]
+    return rho_grid
 
 
 def _dv_sens_uniform(Kq, N, p, offsets, rho_grid, phi, psi):
@@ -1612,7 +1621,7 @@ class GMGAssembler3D:
                     smoother_dtype=self.smoother_dtype,
                     coeff_lp_k=lpk, interpret=pal_interp,
                 ))
-                rho_grid = rho_grid[0::2, 0::2, 0::2]
+                rho_grid = _restrict_nodal(rho_grid)
                 continue
             if self.elem_path == "uniform":
                 coeff = op.assemble_uniform(self.material_planes(rho_grid), Kq)
@@ -1630,7 +1639,7 @@ class GMGAssembler3D:
                                 pallas_ty=pal_ty,
                                 pallas_interpret=pal_interp,
                                 pallas_sym=self.pallas_sym))
-            rho_grid = rho_grid[0::2, 0::2, 0::2]
+            rho_grid = _restrict_nodal(rho_grid)
         if self.coarse_dense and (
             int(np.prod(levels[-1].shape)) * self.nd
             <= self.coarse_dense_max
