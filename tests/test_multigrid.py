@@ -261,6 +261,19 @@ def test_interleave_transfers_match_slice_forms():
             np.asarray(restrict3d_il(f, (nzc, nyc, nxc))),
             np.asarray(restrict3d(f, (nzc, nyc, nxc))), atol=1e-13,
         )
+    # the hierarchy's nodal rho injection (reshape de-interleaving,
+    # relayout-safe next to the Pallas assembly pack) must stay exactly
+    # the stride-2 slice it replaced
+    from pyfem_gpu_testflight_tpu.multigrid import _restrict_nodal
+
+    g2 = jnp.asarray(rng.standard_normal((9, 17)))
+    np.testing.assert_array_equal(
+        np.asarray(_restrict_nodal(g2)), np.asarray(g2)[0::2, 0::2]
+    )
+    g3 = jnp.asarray(rng.standard_normal((5, 9, 7)))
+    np.testing.assert_array_equal(
+        np.asarray(_restrict_nodal(g3)), np.asarray(g3)[0::2, 0::2, 0::2]
+    )
 
 
 def test_gmg_large_nu_falls_back_to_xla():
