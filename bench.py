@@ -1,7 +1,9 @@
-"""Headline benchmark: 1M-DOF plane-stress assembly + CG time-to-solution.
+"""Headline benchmarks: assembly + CG time-to-solution and topo-opt rate.
 
-Prints ONE JSON line:
+The default invocation runs all three headline configs and prints one
+JSON line per config (2D plane stress, 3D hex8, topology optimization):
     {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 5.0/seconds}
+``--config 2d|3d|topo`` runs a single config (quick sweeps).
 
 The baseline (BASELINE.md) is the driver-set target of < 5 s on a single
 TPU v5e chip for assembly + CG solve at ~1e6 dofs, with the solution
@@ -212,7 +214,10 @@ def run_topo(args, log):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["2d", "3d", "topo"], default="2d")
+    ap.add_argument("--config", choices=["all", "2d", "3d", "topo"],
+                    default="all",
+                    help="'all' (default) runs the 2D, 3D, and topo "
+                         "headline configs, one JSON line each")
     ap.add_argument("--n3d", type=int, default=65,
                     help="3D config: nodes per axis")
     ap.add_argument("--topo-iters", dest="topo_iters", type=int,
@@ -284,11 +289,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/pyfem_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-    import jax.numpy as jnp
-    import pyfem_gpu_testflight_tpu as fem
-    from pyfem_gpu_testflight_tpu import multigrid, solvers
-
-    dtype = jnp.dtype(args.dtype)
     log = (lambda *a: None) if args.quiet else (
         lambda *a: print(*a, file=sys.stderr, flush=True)
     )
@@ -299,7 +299,28 @@ def main():
     if args.config == "topo":
         run_topo(args, log)
         return
+    if args.config == "2d":
+        run_2d(args, log)
+        return
 
+    # default: all three headline configs, one JSON line each; a failure
+    # in one config must not lose the others' numbers
+    for name, fn in (("2d", run_2d), ("3d", run_3d), ("topo", run_topo)):
+        try:
+            fn(args, log)
+        except Exception as e:  # noqa: BLE001 - keep remaining configs
+            print(f"[bench] config {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+
+def run_2d(args, log):
+    """Plane-stress 1M-dof assembly+solve (the original headline)."""
+    import jax
+    import jax.numpy as jnp
+    import pyfem_gpu_testflight_tpu as fem
+    from pyfem_gpu_testflight_tpu import multigrid
+
+    dtype = jnp.dtype(args.dtype)
     log(f"devices: {jax.devices()}")
     creator = fem.ProblemCreator(nnodes_x=args.nx, nnodes_y=args.ny,
                                  element_type="quad")

@@ -132,21 +132,40 @@ class DeviceTopo:
             g = filt_bwd(coeffK, coeffR, finvd, dc)
             vol = jnp.sum(rho_raw) / nnodes
             con = self.fixed_volume - vol
-            x_new, low, upp, lam, step_sz = device_update_body(
+            x_new, low_n, upp_n, lam, step_sz = device_update_body(
                 x, xold1, xold2, low, upp, g, dci_vec, -con, lb_v, ub_v,
                 k, **upd_kw,
             )
+            # in-step convergence guard: a stalled state solve (rn still
+            # above tolerance after maxiter) must not corrupt the
+            # iterate — the host drains stats only every log_every
+            # iterations, so without this up to log_every-1 MMA updates
+            # would run on a garbage state before _check_converged
+            # raises.  Freeze the whole optimizer state instead; the
+            # drain then reports the failure at the right iteration.
+            bnorm = jnp.linalg.norm(b)
+            # same slack as the drain's _check_converged: frozen here
+            # <=> raises there (a tighter in-step test would silently
+            # stall the design on a benign near-tolerance maxiter exit)
+            bad = ~(rn <= 10.0 * rtol * bnorm)  # catches NaN too
+            x_new = jnp.where(bad, x, x_new)
+            xo1 = jnp.where(bad, xold1, x)
+            xo2 = jnp.where(bad, xold2, xold1)
+            low = jnp.where(bad, low, low_n)
+            upp = jnp.where(bad, upp, upp_n)
+            u = jnp.where(bad, u_prev, u)
             # one packed stats vector per iteration: the host drains a
             # whole batch with a single D2H transfer (each separate
             # scalar float() is its own ~25 ms round trip on a
             # remote-tunneled chip — 7 scalars x 20 iterations cost
             # ~3 s, dwarfing the 22 ms compute, measured round 3)
             sdt = obj.dtype  # model dtype: full history precision
+            step_sz = jnp.where(bad, 0.0, step_sz)
             stats = jnp.stack([
                 obj, con.astype(sdt), it.astype(sdt), rn.astype(sdt),
-                jnp.linalg.norm(b_il).astype(sdt), step_sz.astype(sdt),
+                bnorm.astype(sdt), step_sz.astype(sdt),
             ])
-            return (x_new, x, xold1, low, upp, u, stats)
+            return (x_new, xo1, xo2, low, upp, u, stats)
 
         self._step = jax.jit(step)
 

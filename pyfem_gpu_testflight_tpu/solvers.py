@@ -154,8 +154,10 @@ def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
     matvec (the reference reads scipy's info flag, pyfem.py:2421-2422).
 
     Returns:
-        (x, iters, resnorm) — iters counts inner Arnoldi steps taken
-        before the residual estimate first dipped under tolerance.
+        (x, iters, resnorm) — iters is the exact number of inner Arnoldi
+        steps executed (one ``A M^-1`` matvec each); restart cycles exit
+        early once the rotated-residual estimate dips under tolerance,
+        so a system converging at inner step 3 pays 3 matvecs, not m.
     """
     n = b.shape[0]
     if x0 is None:
@@ -181,8 +183,8 @@ def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
         sn = jnp.zeros(m, b.dtype)
         g = jnp.zeros(m + 1, b.dtype).at[0].set(beta.astype(b.dtype))
 
-        def arnoldi(j, st):
-            V, H, cs, sn, g = st
+        def arnoldi(st):
+            V, H, cs, sn, g, j = st
             w = amv(V[j])
             # classical Gram-Schmidt, twice (CGS2): unset rows of V are
             # zero, so the full-matrix products project on span(V[:j+1])
@@ -219,10 +221,16 @@ def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
             g = g.at[j + 1].set(-sn[j] * g[j])
             g = g.at[j].set(cs[j].conj() * g[j])
             H = H.at[j].set(hcol)
-            return (V, H, cs, sn, g)
+            return (V, H, cs, sn, g, j + 1)
 
-        V, H, cs, sn, g = jax.lax.fori_loop(
-            0, m, arnoldi, (V, H, cs, sn, g)
+        def arn_cond(st):
+            *_, g, j = st
+            # |g[j]| is the current rotated-residual estimate (== the
+            # true residual under right preconditioning, up to roundoff)
+            return (j < m) & (jnp.abs(g[j]) > tol)
+
+        V, H, cs, sn, g, took = jax.lax.while_loop(
+            arn_cond, arnoldi, (V, H, cs, sn, g, 0)
         )
 
         # back substitution on the rotated (upper-triangular) system;
@@ -239,10 +247,8 @@ def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
 
         y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, b.dtype))
         x = x + inv_diag * (y @ V[:m])
-        # inner steps until the rotated-residual estimate |g| first
-        # dipped under tol (all m always execute; this is the report)
-        took = jnp.minimum(m, jnp.sum(jnp.abs(g[1:]) > tol) + 1)
-        return x, jnp.sqrt(jnp.vdot(b - matvec(x), b - matvec(x)).real), took
+        rvec = b - matvec(x)
+        return x, jnp.sqrt(jnp.vdot(rvec, rvec).real), took
 
     r0 = jnp.linalg.norm(b - matvec(x0))
 

@@ -270,6 +270,12 @@ def test_interleave_transfers_match_slice_forms():
     np.testing.assert_array_equal(
         np.asarray(_restrict_nodal(g2)), np.asarray(g2)[0::2, 0::2]
     )
+    # even axis lengths too: _deinterleave2 pads them, and a pad-trim
+    # regression would go uncaught on odd-only shapes (ADVICE r3)
+    g2e = jnp.asarray(rng.standard_normal((8, 16)))
+    np.testing.assert_array_equal(
+        np.asarray(_restrict_nodal(g2e)), np.asarray(g2e)[0::2, 0::2]
+    )
     g3 = jnp.asarray(rng.standard_normal((5, 9, 7)))
     np.testing.assert_array_equal(
         np.asarray(_restrict_nodal(g3)), np.asarray(g3)[0::2, 0::2, 0::2]

