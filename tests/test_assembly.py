@@ -8,6 +8,8 @@ from scipy import sparse
 import pyfem_gpu_testflight_tpu as fem
 from pyfem_gpu_testflight_tpu import assembly, solvers
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def small_poisson():

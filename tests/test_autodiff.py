@@ -13,6 +13,9 @@ import jax.numpy as jnp
 import pyfem_gpu_testflight_tpu as fem
 from pyfem_gpu_testflight_tpu.models.base import ramp
 from pyfem_gpu_testflight_tpu.ops import geometry, stiffness
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_poisson_dv_sens_matches_jax_grad():

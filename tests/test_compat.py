@@ -4,6 +4,9 @@ import numpy as np
 
 import pyfem_gpu_testflight_tpu.compat as pyfem
 from oracles.poisson_oracle import solve_poisson
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def gfunc(x):

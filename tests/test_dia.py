@@ -5,6 +5,9 @@ import jax.numpy as jnp
 
 import pyfem_gpu_testflight_tpu as fem
 from pyfem_gpu_testflight_tpu.ops.dia import DiaOperator
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _model():

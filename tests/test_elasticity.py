@@ -7,6 +7,8 @@ import pytest
 import pyfem_gpu_testflight_tpu as fem
 from oracles.plane_stress_oracle import solve_plane_stress
 
+pytestmark = pytest.mark.quick
+
 
 def test_plane_stress_vs_oracle():
     creator = fem.ProblemCreator(nnodes_x=32, nnodes_y=32)

@@ -5,6 +5,8 @@ import pytest
 
 from pyfem_gpu_testflight_tpu.elements import ELEMENT_REGISTRY, get_element
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("name", sorted(ELEMENT_REGISTRY))
 def test_partition_of_unity(name):

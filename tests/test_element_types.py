@@ -10,6 +10,8 @@ import pytest
 
 import pyfem_gpu_testflight_tpu as fem
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("element_type", ["tet", "brick20"])
 def test_dKdx_complex_step(element_type):

@@ -9,6 +9,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from pyfem_gpu_testflight_tpu import solvers
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _apply(data, x):

@@ -4,6 +4,9 @@ import numpy as np
 
 import pyfem_gpu_testflight_tpu as fem
 from oracles.helmholtz_oracle import HelmholtzFilterOracle
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def test_helmholtz_filter_vs_oracle():

@@ -11,6 +11,9 @@ import jax.numpy as jnp
 
 import pyfem_gpu_testflight_tpu as fem
 from oracles.hex8_oracle import solve_elasticity_3d, solve_poisson_3d
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _proj_rel_err(u, u_ref):

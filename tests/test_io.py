@@ -5,6 +5,8 @@ import pytest
 
 import pyfem_gpu_testflight_tpu as fem
 
+pytestmark = pytest.mark.quick
+
 
 INP_SAMPLE = """*Heading
 ** a tiny mixed file with comments

@@ -14,6 +14,8 @@ import pytest
 import pyfem_gpu_testflight_tpu as fem
 from oracles.poisson_oracle import solve_poisson
 
+pytestmark = pytest.mark.quick
+
 
 def gfunc(x):
     _x = x[..., 0]

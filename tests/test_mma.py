@@ -4,6 +4,9 @@ import numpy as np
 
 import pyfem_gpu_testflight_tpu as fem
 from pyfem_gpu_testflight_tpu.opt import MMA, Problem, TopoProblem
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 class QuadraticProblem(Problem):

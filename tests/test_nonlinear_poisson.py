@@ -6,6 +6,8 @@ import pytest
 import pyfem_gpu_testflight_tpu as fem
 from oracles.nonlinear_poisson_oracle import NonlinearPoissonOracle
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("method", ["direct", "gmres"])
 def test_nonlinear_poisson_vs_oracle(method):

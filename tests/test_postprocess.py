@@ -5,6 +5,9 @@ import jax.numpy as jnp
 
 import pyfem_gpu_testflight_tpu as fem
 from pyfem_gpu_testflight_tpu import postprocess as post
+import pytest
+
+pytestmark = pytest.mark.quick
 
 
 def _cantilever(nx=20, ny=10):

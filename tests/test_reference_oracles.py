@@ -31,6 +31,8 @@ sys.path.insert(0, _REF_TESTS)
 
 import pyfem_gpu_testflight_tpu.compat as pyfem  # noqa: E402
 
+pytestmark = pytest.mark.quick
+
 
 def _projection_rel_err(u, u_ref):
     np.random.seed(123)

@@ -14,6 +14,8 @@ from pyfem_gpu_testflight_tpu.parallel import (
     make_mesh,
 )
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def mesh8():

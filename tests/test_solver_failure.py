@@ -12,6 +12,8 @@ import pytest
 
 import pyfem_gpu_testflight_tpu as fem
 
+pytestmark = pytest.mark.quick
+
 
 def _well_posed_poisson():
     creator = fem.ProblemCreator(nnodes_x=32, nnodes_y=32,

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 import pyfem_gpu_testflight_tpu as fem
 
+pytestmark = pytest.mark.quick
+
 
 def _rand(rng, *shape):
     return rng.rand(*shape)
