@@ -918,7 +918,8 @@ def _restrict_nodal(rho_grid):
     return rho_grid
 
 
-def _dv_sens_uniform(Kq, N, p, offsets, rho_grid, phi, psi):
+def _dv_sens_uniform(Kq, N, p, offsets, rho_grid, phi, psi,
+                     elem_valid=None):
     """Nodal d(phi^T K(rho) psi)/drho on a uniform grid, scatter-free.
 
     Uniform-geometry counterpart of the models' generic ``_dv_sens``
@@ -944,6 +945,9 @@ def _dv_sens_uniform(Kq, N, p, offsets, rho_grid, phi, psi):
         offsets: per-local-node grid offsets (_QUAD4_LOCAL/_HEX8_LOCAL).
         rho_grid: nodal density, (ny, nx) or (nz, ny, nx).
         phi, psi: (nd, *grid) dof component planes.
+        elem_valid: optional element-grid multiplier zeroing phantom
+            elements (sharded local blocks assemble on a halo-extended
+            grid whose boundary element rows do not exist globally).
 
     Returns:
         (*grid,) nodal gradient (flatten for the dof-vector form).
@@ -967,6 +971,8 @@ def _dv_sens_uniform(Kq, N, p, offsets, rho_grid, phi, psi):
         ]
     )
     w = ramp_deriv(rho_q, p)  # (nq,) + esh
+    if elem_valid is not None:
+        w = w * elem_valid
     # element dof planes, row r = local_node * nd + comp
     P = jnp.stack([sl(off, phi[a]) for off in offsets for a in range(nd)])
     Q = jnp.stack([sl(off, psi[a]) for off in offsets for a in range(nd)])

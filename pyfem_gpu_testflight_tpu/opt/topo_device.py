@@ -181,6 +181,22 @@ class DeviceTopo:
         self._rtol = float(rtol)
         self.x_init, self.lb, self.ub = x_init, float(lb), float(ub)
 
+    def _init_state(self):
+        """Initial (x, lb_v, ub_v, u_prev) arrays (hook for subclasses)."""
+        n = self.model.nnodes
+        dt = self.dtype
+        lb_v = jnp.full((n,), self.lb, dt)
+        ub_v = jnp.full((n,), self.ub, dt)
+        x = jnp.clip(jnp.full((n,), self.x_init, dt), lb_v, ub_v)
+        u_prev = jnp.zeros(
+            (self.model.ndof_per_node,) + self.model._gmg_shape, dt
+        )
+        return x, lb_v, ub_v, u_prev
+
+    def _finalize_x(self, x):
+        """Final design in the model's flat nodal layout (hook)."""
+        return x
+
     def optimize(self, max_iterations=200, verbose=True, log_every=10,
                  callback=None):
         """Run the loop; host syncs only every ``log_every`` iterations.
@@ -191,19 +207,11 @@ class DeviceTopo:
         from .. import multigrid
         from ..models.base import _check_converged
 
-        n = self.model.nnodes
-        dt = self.dtype
-        lb_v = jnp.full((n,), self.lb, dt)
-        ub_v = jnp.full((n,), self.ub, dt)
-        x = jnp.full((n,), self.x_init, dt)
-        x = jnp.clip(x, lb_v, ub_v)
+        x, lb_v, ub_v, u_prev = self._init_state()
         xold1 = xold2 = x
         rng = ub_v - lb_v
         low = x - self.asy_init * rng
         upp = x + self.asy_init * rng
-        u_prev = jnp.zeros(
-            (self.model.ndof_per_node,) + self.model._gmg_shape, dt
-        )
 
         pending = []  # (iter, packed (6,) stats device array)
 
@@ -254,6 +262,7 @@ class DeviceTopo:
             self.steady_s_per_iter = (w1 - w0) / (i1 - i0)
         else:
             self.steady_s_per_iter = self.s_per_iter
+        x = self._finalize_x(x)
         rho = self._filter_apply(x)
         return x, rho
 

@@ -20,3 +20,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the sharded/shard_map programs take tens of
+# seconds each to build even on CPU; repeat test runs should not pay
+# them again
+jax.config.update("jax_compilation_cache_dir", "/tmp/pyfem_jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
