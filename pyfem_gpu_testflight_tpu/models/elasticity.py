@@ -99,6 +99,21 @@ class LinearElasticity(FEModel):
                 "+ float32"
             )
         self.kernel = kernel
+        if kernel == "pallas" and self.etype.name in ("tet10", "brick20"):
+            import warnings
+
+            # measured round 3: f32 quadratic elements lose ~2 digits
+            # on distorted meshes to near-degenerate-element
+            # cancellation — equally in the einsum-f32 path, so the
+            # kernel is not at fault, but accuracy-critical work should
+            # use the f64 einsum path
+            warnings.warn(
+                "kernel='pallas' on quadratic elements runs in float32; "
+                "distorted meshes lose ~2 digits vs float64 (use the "
+                "default einsum kernel with dtype=float64 for "
+                "accuracy-critical work)",
+                stacklevel=2,
+            )
         if kernel == "pallas":
             if self.etype.ndims == 3:
                 from ..ops.pallas_stiffness3d import transpose_xe_3d

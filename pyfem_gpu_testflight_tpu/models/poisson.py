@@ -90,6 +90,18 @@ class LinearPoisson(FEModel):
                 "+ float32"
             )
         self.kernel = kernel
+        if kernel == "pallas" and self.etype.name in ("tet10", "brick20"):
+            import warnings
+
+            # see models/elasticity.py: f32 quadratic elements lose ~2
+            # digits on distorted meshes (einsum-f32 equally)
+            warnings.warn(
+                "kernel='pallas' on quadratic elements runs in float32; "
+                "distorted meshes lose ~2 digits vs float64 (use the "
+                "default einsum kernel with dtype=float64 for "
+                "accuracy-critical work)",
+                stacklevel=2,
+            )
         if kernel == "pallas":
             if self.etype.ndims == 3:
                 from ..ops.pallas_stiffness3d import transpose_xe_3d
