@@ -653,6 +653,75 @@ class Level:
         )
         return ps.unpack_field2d(xk, ny, nx), ps.unpack_field2d(rk, ny, nx)
 
+    # -- 3D multi-sweep fusion (one kernel per smoothing call) ------------
+
+    def can_fuse3d(self, niter, x0_zero, want_resid):
+        """True when fused_sweeps3d covers this call (sym storage +
+        z budget; see ops.pallas_smooth.SWEEP3_ZEXT)."""
+        from .ops import pallas_smooth as ps
+
+        if not getattr(self, "pallas3", False):
+            return False
+        nk = self.coeff_k.shape[1]
+        if nk != len(ps.sym_planes_3d(self.nd)):
+            return False
+        consumed = ps.halo_sweeps_3d(niter, x0_zero, want_resid)
+        if not 1 <= consumed <= min(self.tz, ps.SWEEP3_ZEXT):
+            return False
+        # VMEM guard: the double-buffered coefficient window must leave
+        # room for Mosaic's ~2x scoped stack under the 128 MB budget
+        ck = self.coeff_lp_k if self.coeff_lp_k is not None else self.coeff_k
+        wc = self.tz + 2 * (consumed - 1) + 1
+        win = 2 * wc * nk * ck.shape[2] * ck.shape[3] * ck.dtype.itemsize
+        return win <= 48 * 1024 * 1024
+
+    def _invd_zpad1(self):
+        """invd in the zpad=1 field layout (cached per assembled level)."""
+        if getattr(self, "_invd_k1", None) is None:
+            from .ops.pallas_smooth import _nzpad
+
+            nzp = _nzpad(self.shape[0], self.tz)
+            self._invd_k1 = jnp.pad(
+                self.invd_k[:, :nzp],
+                ((0, 0), (self.tz, self.tz), (0, 0), (0, 0)),
+            )
+        return self._invd_k1
+
+    def presmooth_resid3d(self, b, niter, omega):
+        """Fused 3D sweeps from x0 = 0 plus the residual: one pass.
+
+        Preconditioner-internal (bf16 coefficient copy when present —
+        flexible PCG absorbs it, as with the per-sweep path).
+        Returns (x, r = b - A x), both (nd, nz, ny, nx).
+        """
+        from .ops import pallas_smooth as ps
+
+        nz, ny, nx = self.shape
+        bk1 = ps.pack_field3d(b, zpad=1, tz=self.tz)
+        ck = self.coeff_lp_k if self.coeff_lp_k is not None else self.coeff_k
+        xk, rk = ps.fused_sweeps3d(
+            ck, self._invd_zpad1(), bk1, None, niter=niter,
+            want_resid=True, omega=omega, tz=self.tz,
+            interpret=self.pallas_interpret,
+        )
+        return (ps.unpack_field3d(xk, nz, ny, nx),
+                ps.unpack_field3d(rk, nz, ny, nx))
+
+    def postsmooth3d(self, b, x0, niter, omega):
+        """Fused 3D sweeps from a given iterate: one coefficient pass."""
+        from .ops import pallas_smooth as ps
+
+        nz, ny, nx = self.shape
+        bk1 = ps.pack_field3d(b, zpad=1, tz=self.tz)
+        xk1 = ps.pack_field3d(x0, zpad=1, tz=self.tz)
+        ck = self.coeff_lp_k if self.coeff_lp_k is not None else self.coeff_k
+        xk = ps.fused_sweeps3d(
+            ck, self._invd_zpad1(), bk1, xk1, niter=niter,
+            want_resid=False, omega=omega, tz=self.tz,
+            interpret=self.pallas_interpret,
+        )
+        return ps.unpack_field3d(xk, nz, ny, nx)
+
     # -- 3D fused ops (one z-tiled kernel call per sweep) -----------------
 
     def sweep3d(self, bk, x, omega):
@@ -818,6 +887,9 @@ class GMG:
             # fused sweeps + residual: one pass over the coefficients
             # (BC-eliminated operator keeps masked entries at zero)
             x, r = lv.presmooth_resid(b, self.nu_pre, self.omega)
+        elif use_pallas3 and lv.can_fuse3d(self.nu_pre, True, True):
+            # all pre-sweeps + the residual in one coefficient pass
+            x, r = lv.presmooth_resid3d(b, self.nu_pre, self.omega)
         elif use_pallas3:
             from .ops import pallas_smooth as ps
 
@@ -840,6 +912,11 @@ class GMG:
         if use_pallas:
             return lv.postsmooth(b, x, self.nu_post, self.omega)
         if use_pallas3:
+            if lv.can_fuse3d(self.nu_post, False, False):
+                return lv.postsmooth3d(b, x, self.nu_post, self.omega)
+            from .ops import pallas_smooth as ps
+
+            bk = ps.pack_field3d(b, tz=lv.tz)
             for _ in range(self.nu_post):
                 x = lv.sweep3d(bk, x, self.omega)
             return x

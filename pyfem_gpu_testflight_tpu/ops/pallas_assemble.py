@@ -473,8 +473,117 @@ def _kernel3d_slab(*refs, nd, nyp, nxp, W, N, p, ney, nex, nez, atz,
         )
 
 
+def _kernel3d_slab_mxu(*refs, nd, nyp, nxp, N, p, ney, nex, nez,
+                       atz, want_lp=False, sym_map=None, nk=None,
+                       nyp_c=None):
+    """MXU variant of :func:`_kernel3d_slab`.
+
+    The per-plane accumulation ``coeff[k] = sum_{o,q} W[k,o,q] *
+    Cq3[q, shifted by o]`` is one ``(nk, 64) @ (64, pixels)`` matmul:
+    the 8*nq shifted material volumes are built once per program
+    (z/y slices are views; x shifts are lane rolls on full-width
+    planes, wraparound killed by the element-validity mask), then the
+    systolic array replaces the ~2.5k-term VPU accumulation that made
+    the slab kernel compute-bound (~3x its write roofline at 65^3).
+    """
+    if want_lp:
+        rho0, rho1, m0, m1, w2, cout, dout, lpout = refs
+    else:
+        rho0, rho1, m0, m1, w2, cout, dout = refs
+        lpout = None
+    i = pl.program_id(0)
+
+    nq = N.shape[0]
+    YI, XI = nyp - 2, nxp - 2
+    rho2 = jnp.concatenate([rho0[...], rho1[...]], axis=0)
+    m2 = jnp.concatenate([m0[...], m1[...]], axis=1)
+    fdt = rho2.dtype
+
+    # material at quad points, full lane width (atz+1, nyp-1, nxp)
+    shp = (atz + 1, nyp - 1, nxp)
+    ey = jax.lax.broadcasted_iota(jnp.int32, shp, 1) - 1
+    ex = jax.lax.broadcasted_iota(jnp.int32, shp, 2) - 1
+    ezi = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + (i * atz - 1)
+    valid = (
+        (ey >= 0) & (ey < ney) & (ex >= 0) & (ex < nex)
+        & (ezi >= 0) & (ezi < nez)
+    ).astype(fdt)
+    # x-rolled material volumes: Cro[q][ax][z, y, x] = Cq3[q][z, y,
+    # x + 1 - ax] (roll wraparound lands outside the valid element
+    # range and at sliced-off output columns)
+    Cro = []
+    for q in range(nq):
+        acc = None
+        for n, (nzo, nyo, nxo) in enumerate(_HEX8_LOCAL):
+            t = rho2[nzo : nzo + atz + 1, nyo : nyo + nyp - 1, :]
+            if nxo:
+                # left-rotate by one lane: out[x] = in[x+1] (pltpu.roll
+                # takes non-negative shifts; nxp-1 == -1 mod nxp)
+                t = pltpu.roll(t, nxp - 1, 2)
+            t = float(N[q, n]) * t
+            acc = t if acc is None else acc + t
+        cq = valid * acc / (1.0 + p * (1.0 - acc))
+        Cro.append((pltpu.roll(cq, nxp - 1, 2), cq))  # ax = 0 (x+1), ax = 1
+    # B: (8*nq, atz*YI*nxp) shifted-volume matrix (z/y slices = views)
+    brows = []
+    for o in range(8):
+        az, r = divmod(o, 4)
+        ay, ax = divmod(r, 2)
+        for q in range(nq):
+            brows.append(
+                Cro[q][ax][1 - az : 1 - az + atz,
+                           1 - ay : 1 - ay + YI, :]
+            )
+    Bm = jnp.stack(brows).reshape(8 * nq, atz * YI * nxp)
+    nk_out = nd * nd * 27 if nk is None else nk
+    O = jax.lax.dot_general(
+        w2[...].astype(fdt), Bm, (((1,), (0,)), ((), ())),
+        preferred_element_type=fdt,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(nk_out, atz, YI, nxp)
+
+    rowm = [m2[c, 1 : 1 + atz, 1 : 1 + YI, 1 : 1 + XI] for c in range(nd)]
+    diags = [None] * nd
+    cout[...] = jnp.zeros((atz, nk_out, nyp_c or nyp, nxp), fdt)
+    if lpout is not None:
+        lpout[...] = jnp.zeros(
+            (atz, nk_out, nyp_c or nyp, nxp), lpout.dtype
+        )
+    for ca in range(nd):
+        for cb in range(nd):
+            for dz in range(3):
+                colm_z = m2[cb, dz : dz + atz]
+                for dy in range(3):
+                    colm = colm_z[:, dy : dy + YI, :]
+                    for dx in range(3):
+                        k = (ca * nd + cb) * 27 + dz * 9 + dy * 3 + dx
+                        if sym_map is not None and k not in sym_map:
+                            continue
+                        ko = k if sym_map is None else sym_map[k]
+                        plane = (
+                            O[ko, :, :, 0:XI]
+                            * rowm[ca]
+                            * colm[:, :, dx : dx + XI]
+                        )
+                        if ca == cb and dz == dy == dx == 1:
+                            plane = plane + (1.0 - rowm[ca])
+                            diags[ca] = plane
+                        cout[:, ko, 1 : 1 + YI, 1 : 1 + XI] = plane
+                        if lpout is not None:
+                            lpout[:, ko, 1 : 1 + YI, 1 : 1 + XI] = (
+                                plane.astype(lpout.dtype)
+                            )
+    for c in range(nd):
+        d = diags[c]
+        dout[c] = jnp.zeros((atz, nyp, nxp), fdt)
+        dout[c, :, 1 : 1 + YI, 1 : 1 + XI] = rowm[c] / jnp.where(
+            d == 0.0, 1.0, d
+        )
+
+
 def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
-                     lp_dtype=None, sym=False, interpret=False):
+                     lp_dtype=None, sym=False, interpret=False,
+                     mxu=True):
     """3D density grid -> packed eliminated coefficients + inv diagonal.
 
     Args:
@@ -508,10 +617,15 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
         }
         nyp_c = _nyp8(ny)  # sym consumers DMA 8-aligned row windows
     nk = nd * nd * 27 if sym_map is None else len(sym_map)
-    # sym consumers need a forward z-halo plane: emit one extra
-    # (all-zero-mask) z-tile so the packed array has >= nz_pad + 1
-    # planes without an extra full-array pad-copy
-    zext_tiles = 1 if sym else 0
+    # sym consumers need forward z-halo planes: the single-sweep kernel
+    # reads +1, the multi-sweep kernel (fused_sweeps3d) up to
+    # SWEEP3_ZEXT.  Emit enough extra (all-zero-mask) z-tiles that the
+    # packed array has >= nz_pad + SWEEP3_ZEXT planes without an extra
+    # full-array pad-copy (tile count fixed up per-path below).
+    from .pallas_smooth import SWEEP3_ZEXT
+
+    zext_planes = SWEEP3_ZEXT if sym else 0
+    zext_tiles = zext_planes
     dt = rho_a.dtype
 
     blk = lambda d0: pl.BlockSpec(
@@ -557,6 +671,10 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
         # planes carry zero coefficients; consumers never read past
         # their own z-extent).
         slab_buf = slab_bytes(atz)
+        if mxu:
+            # B + O matmul operands live alongside the output buffers
+            slab_buf += (8 * N.shape[0] + nk + 16) * atz * nyp * nxp * esize
+        zext_tiles = -(-zext_planes // atz)
         grid = -(-nz_pad // atz) + zext_tiles
         nz_out = grid * atz
         P = (grid + 1) * atz
@@ -578,12 +696,32 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
             (nd, atz, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        kern = functools.partial(
-            _kernel3d_slab, nd=nd, nyp=nyp, nxp=nxp, W=W, N=N,
-            p=float(p), ney=ny - 1, nex=nx - 1, nez=nz - 1, atz=atz,
-            want_lp=lp_dtype is not None, sym_map=sym_map, nk=nk,
-            nyp_c=nyp_c,
-        )
+        w2_in = None
+        if mxu:
+            # ko-ordered (nk, 8*nq) weight matrix for the MXU variant,
+            # passed as a (tiny, replicated) kernel input
+            nq = N.shape[0]
+            if sym_map is None:
+                korder = range(nd * nd * 27)
+            else:
+                korder = sorted(sym_map, key=sym_map.get)
+            w2_in = jnp.asarray(
+                W.reshape(nd * nd * 27, 8 * nq)[list(korder)],
+                jnp.float32,
+            )
+            kern = functools.partial(
+                _kernel3d_slab_mxu, nd=nd, nyp=nyp, nxp=nxp,
+                N=N, p=float(p), ney=ny - 1, nex=nx - 1, nez=nz - 1,
+                atz=atz, want_lp=lp_dtype is not None, sym_map=sym_map,
+                nk=nk, nyp_c=nyp_c,
+            )
+        else:
+            kern = functools.partial(
+                _kernel3d_slab, nd=nd, nyp=nyp, nxp=nxp, W=W, N=N,
+                p=float(p), ney=ny - 1, nex=nx - 1, nez=nz - 1, atz=atz,
+                want_lp=lp_dtype is not None, sym_map=sym_map, nk=nk,
+                nyp_c=nyp_c,
+            )
         scblk = lambda d0: pl.BlockSpec(
             (atz, d0, nyp_c, nxp), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -598,11 +736,19 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
             out_shape.append(
                 jax.ShapeDtypeStruct((nz_out, nk, nyp_c, nxp), lp_dtype)
             )
+        in_specs = [srblk(0), srblk(1), smblk(0), smblk(1)]
+        ins = [rho_a, rho_a, maskf_a, maskf_a]
+        if w2_in is not None:
+            in_specs.append(pl.BlockSpec(
+                w2_in.shape, lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+            ins.append(w2_in)
         with jax.enable_x64(False):
             outs = pl.pallas_call(
                 kern,
                 grid=(grid,),
-                in_specs=[srblk(0), srblk(1), smblk(0), smblk(1)],
+                in_specs=in_specs,
                 out_specs=tuple(out_specs),
                 out_shape=tuple(out_shape),
                 compiler_params=pltpu.CompilerParams(
@@ -612,7 +758,7 @@ def assemble_pack_3d(rho_a, maskf_a, W, N, *, nd, p, nz, ny, nx, tz=1,
                     )
                 ),
                 interpret=interpret,
-            )(rho_a, rho_a, maskf_a, maskf_a)
+            )(*ins)
         return outs
 
     buf = 2 * (nk + nd + 3 + 3 * nd) * nyp * nxp * esize

@@ -46,6 +46,7 @@ __all__ = [
     "pack_field3d",
     "unpack_field3d",
     "fused_sweep_3d",
+    "fused_sweeps3d",
 ]
 
 _PADY = 8  # top halo rows (also DMA row-alignment unit)
@@ -113,10 +114,21 @@ def sym_planes_2d(nd):
 # passes.  The elementwise first sweep from x = 0 consumes none.
 SWEEP_BUDGET = _PADY - 1
 
+# Trailing all-zero z-planes emitted past nz_pad by the sym 3D packs
+# (pack_coeff3d / assemble_pack_3d): the multi-sweep 3D kernel's
+# coefficient window reaches ``consumed`` planes forward (consumed - 1
+# ghost planes + the sym partner's +1), so the z budget of
+# :func:`fused_sweeps3d` is min(tz, SWEEP3_ZEXT).
+SWEEP3_ZEXT = 4
+
 
 def halo_sweeps_2d(niter, x0_zero, want_resid):
     """Halo rows consumed by a fused_sweeps_2d call."""
     return (niter - (1 if x0_zero else 0)) + (1 if want_resid else 0)
+
+
+# same consumption rule per z-plane for the fused 3D kernel
+halo_sweeps_3d = halo_sweeps_2d
 
 
 def _geom(ny, nx, ty):
@@ -489,8 +501,10 @@ def pack_coeff3d(coeff, tz=1, dtype=None, sym=False):
     the (DMA-bound) kernels at ~190 GB/s on v5e.
     dtype=bfloat16 halves the smoother's dominant HBM traffic; the
     kernels convert to f32 in registers (FMA stays f32).
-    sym=True stores the :func:`sym_planes_3d` half with one extra
-    (zero) z-plane at the end — the sym kernel's +1 z-halo window.
+    sym=True stores the :func:`sym_planes_3d` half with SWEEP3_ZEXT
+    extra (zero) z-planes at the end — the sym kernels' forward z-halo
+    windows (+1 for the single-sweep kernel; up to ``consumed`` for
+    :func:`fused_sweeps3d`).
     """
     nd = coeff.shape[0]
     nz, ny, nx = coeff.shape[-3:]
@@ -501,7 +515,7 @@ def pack_coeff3d(coeff, tz=1, dtype=None, sym=False):
         keep = np.asarray([k for (k, *_r) in sym_planes_3d(nd)])
         planes = planes[keep]
         nyp = _nyp8(ny)
-    zext = 1 if sym else 0
+    zext = SWEEP3_ZEXT if sym else 0
     out = jnp.zeros(
         (_nzpad(nz, tz) + zext, planes.shape[0], nyp, nxp), dt
     )
@@ -755,6 +769,296 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
                     110 * 1024 * 1024, buf_bytes + (1 << 24)
+                )
+            ),
+            interpret=interpret,
+        )(*inputs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 3D multi-sweep fusion — all sweeps of one smoothing call (+ optional
+# residual) in a single pass over the coefficients, like the 2D kernel
+# but with z-ghost redundant compute.  Requires sym (half-stencil)
+# coefficient storage; the coefficient window per z-tile is
+# tz + 2*(consumed-1) + 1 planes, so the amortized coefficient traffic
+# is (tz + 2*consumed - 1)/tz of one pass instead of ~consumed passes
+# of the single-sweep kernels.
+# ---------------------------------------------------------------------------
+
+
+def _kernel3d_multi(*refs, nd, nyp, nxp, nyc, niter, x0_zero, want_resid,
+                    neg_resid, omega, tz, n_tiles, sym_list, consumed):
+    # refs: c(ANY), d0,d1,d2, b0,b1,b2, (x0,x1,x2)?, xout, rout?,
+    #       xw, c_s, sems
+    idx = 0
+    cref = refs[idx]; idx += 1
+    d3 = refs[idx : idx + 3]; idx += 3
+    b3 = refs[idx : idx + 3]; idx += 3
+    x3 = None
+    if not x0_zero:
+        x3 = refs[idx : idx + 3]; idx += 3
+    xout = refs[idx]; idx += 1
+    rout = None
+    if want_resid:
+        rout = refs[idx]; idx += 1
+    xw = refs[idx]; idx += 1
+    c_s = refs[idx]; idx += 1
+    sems = refs[idx]
+
+    i = pl.program_id(0)
+    hc = consumed - 1          # backward coefficient ghost planes
+    WC = tz + 2 * hc + 1       # coefficient window (+1 sym partner)
+    OFF = consumed             # xw plane o <-> logical i*tz + o - OFF
+
+    # --- double-buffered coefficient window DMA (z-major: contiguous)
+    def start_copy(slot, t):
+        if hc > 0:
+            @pl.when(t == 0)
+            def _():
+                pltpu.make_async_copy(
+                    cref.at[pl.ds(0, WC - hc)], c_s.at[slot, hc:],
+                    sems.at[slot],
+                ).start()
+
+            @pl.when(t > 0)
+            def _():
+                pltpu.make_async_copy(
+                    cref.at[pl.ds(t * tz - hc, WC)], c_s.at[slot],
+                    sems.at[slot],
+                ).start()
+        else:
+            pltpu.make_async_copy(
+                cref.at[pl.ds(t * tz, WC)], c_s.at[slot], sems.at[slot]
+            ).start()
+
+    def wait_copy(slot, t):
+        if hc > 0:
+            @pl.when(t == 0)
+            def _():
+                pltpu.make_async_copy(
+                    cref.at[pl.ds(0, WC - hc)], c_s.at[slot, hc:],
+                    sems.at[slot],
+                ).wait()
+
+            @pl.when(t > 0)
+            def _():
+                pltpu.make_async_copy(
+                    cref.at[pl.ds(t * tz - hc, WC)], c_s.at[slot],
+                    sems.at[slot],
+                ).wait()
+        else:
+            pltpu.make_async_copy(
+                cref.at[pl.ds(t * tz, WC)], c_s.at[slot], sems.at[slot]
+            ).wait()
+
+    @pl.when(i == 0)
+    def _():
+        start_copy(0, 0)
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        start_copy((i + 1) % 2, i + 1)
+
+    slot = i % 2
+    wait_copy(slot, i)
+    if hc > 0:
+        # tile 0's window starts at logical plane -hc: zero the lead
+        @pl.when(i == 0)
+        def _():
+            c_s[slot, 0:hc] = jnp.zeros(
+                (hc,) + tuple(c_s.shape[2:]), c_s.dtype
+            )
+
+    YI, XI = nyp - 2, nxp - 2
+    dcat = jnp.concatenate([r[...] for r in d3], axis=1)
+    bcat = jnp.concatenate([r[...] for r in b3], axis=1)
+    fdt = dcat.dtype
+
+    def fld(cat, c, z0, z1):
+        """cat planes for xw range [z0, z1), interior cols/rows."""
+        lo = z0 - OFF + tz
+        return cat[c, lo : lo + (z1 - z0), 1 : 1 + YI, 1 : 1 + XI]
+
+    def matvec(z0, z1):
+        """A xw on xw planes [z0, z1) (interior rows/cols)."""
+        n = z1 - z0
+        accs = [None] * nd
+
+        def add(c, t):
+            accs[c] = t if accs[c] is None else accs[c] + t
+
+        co = z0 - OFF + hc  # coefficient-window plane of xw plane z0
+        for si, (k, a, b, dz, dy, dx, selfp) in enumerate(sym_list):
+            cv = c_s[slot, co : co + n, si, :nyp, :]
+            if cv.dtype != fdt:
+                cv = cv.astype(fdt)
+            add(a, cv[:, 1 : 1 + YI, 1 : 1 + XI] * xw[
+                b, z0 + dz - 1 : z1 + dz - 1, dy : dy + YI, dx : dx + XI,
+            ])
+            if not selfp:
+                cv1 = c_s[slot, co : co + n + 1, si, :nyp, :]
+                if cv1.dtype != fdt:
+                    cv1 = cv1.astype(fdt)
+                p = cv1 * xw[a, z0 : z1 + 1]
+                add(b, p[1 - dz : 1 - dz + n,
+                         2 - dy : 2 - dy + YI,
+                         2 - dx : 2 - dx + XI])
+        return accs
+
+    sweeps = niter
+    if x0_zero:
+        # first sweep from x = 0 is elementwise (no coefficient read);
+        # its compute range is the widest: the full xw extent
+        xw[:] = jnp.zeros(xw.shape, xw.dtype)
+        z0, z1 = OFF - consumed, OFF + tz + consumed
+        for c in range(nd):
+            xw[c, z0:z1, 1 : 1 + YI, 1 : 1 + XI] = (
+                omega * fld(dcat, c, z0, z1) * fld(bcat, c, z0, z1)
+            )
+        sweeps = niter - 1
+    else:
+        xcat = jnp.concatenate([r[...] for r in x3], axis=1)
+        xw[:] = xcat[:, tz - OFF : 2 * tz + OFF]
+    # stencil stages shrink: last sweep at ghost (1 if resid else 0),
+    # the trailing residual at ghost 0
+    g = consumed - 1
+
+    for _ in range(max(sweeps, 0)):
+        z0, z1 = OFF - g, OFF + tz + g
+        accs = matvec(z0, z1)
+        for c in range(nd):
+            upd = omega * fld(dcat, c, z0, z1) * (
+                fld(bcat, c, z0, z1) - accs[c]
+            )
+            xw[c, z0:z1, 1 : 1 + YI, 1 : 1 + XI] = (
+                xw[c, z0:z1, 1 : 1 + YI, 1 : 1 + XI] + upd
+            )
+        g -= 1
+
+    for c in range(nd):
+        xout[c] = xw[c, OFF : OFF + tz, :, :]
+    if rout is not None:
+        accs = matvec(OFF, OFF + tz)
+        for c in range(nd):
+            bv = fld(bcat, c, OFF, OFF + tz)
+            v = (accs[c] - bv) if neg_resid else (bv - accs[c])
+            rout[c] = jnp.zeros((tz, nyp, nxp), v.dtype)
+            rout[c, :, 1 : 1 + YI, 1 : 1 + XI] = v
+
+
+def fused_sweeps3d(coeff_k, invd_k1, b_k1, x_k1=None, *, niter=2,
+                   want_resid=False, neg_resid=False, omega=0.6, tz=4,
+                   interpret=False):
+    """All damped-Jacobi sweeps of one 3D smoothing call (+ optional
+    residual) in a single pass over the sym-packed coefficients.
+
+    The z-grid is tiled by ``tz`` planes; each program DMAs a
+    ``tz + 2*(consumed-1) + 1``-plane coefficient window (double-
+    buffered) and recomputes the ghost planes redundantly, exactly the
+    2D kernel's row-halo scheme rotated into z.  Replaces ``consumed``
+    single-sweep kernel launches (each re-reading the coefficients at
+    (tz+1)/tz window overhead) with one.
+
+    Args:
+        coeff_k: sym z-major packed coefficients with >= consumed
+            trailing zero z-planes past nz_pad (``pack_coeff3d(sym=
+            True)`` / the sym assembly emit SWEEP3_ZEXT).
+        invd_k1, b_k1, x_k1: fields packed with ``pack_field3d(_,
+            zpad=1, tz=tz)`` (logical z at physical z + tz); x_k1=None
+            for x0 = 0.
+        niter: Jacobi sweeps (>= 1).
+        want_resid: also return sign*(b - A x_final).
+
+    Returns:
+        x_out or (x_out, r_out), plain-layout (nd, nz_pad, nyp, nxp).
+
+    Budget: ``halo_sweeps_3d(niter, x0_zero, want_resid)`` must be
+    <= min(tz, SWEEP3_ZEXT); callers fall back to the single-sweep
+    kernels otherwise (see GMG._cycle).
+    """
+    nzc, nk, nyc, nxp = coeff_k.shape
+    nd = invd_k1.shape[0]
+    nyp = invd_k1.shape[2]
+    nzp = invd_k1.shape[1] - 2 * tz
+    sym_list = sym_planes_3d(nd)
+    assert nk == len(sym_list), (
+        "fused_sweeps3d requires sym coefficient storage", nk, nd)
+    assert nyc >= nyp and nyc % 8 == 0
+    x0_zero = x_k1 is None
+    assert niter >= 1
+    consumed = halo_sweeps_3d(niter, x0_zero, want_resid)
+    assert 1 <= consumed <= min(tz, SWEEP3_ZEXT), (
+        f"fused_sweeps3d: niter={niter} (x0_zero={x0_zero}, "
+        f"want_resid={want_resid}) exceeds the z budget "
+        f"min(tz={tz}, {SWEEP3_ZEXT})"
+    )
+    assert nzc >= nzp + consumed, (
+        "sym coeff needs >= consumed trailing z-halo planes", nzc, nzp)
+    n_tiles = nzp // tz
+
+    blk = lambda d0: pl.BlockSpec(
+        (d0, tz, nyp, nxp), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    xblk = lambda off: pl.BlockSpec(
+        (nd, tz, nyp, nxp), lambda i, o=off: (0, i + o, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    inputs = [coeff_k, invd_k1, invd_k1, invd_k1, b_k1, b_k1, b_k1]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    in_specs += [xblk(0), xblk(1), xblk(2)] * 2
+    if not x0_zero:
+        inputs += [x_k1, x_k1, x_k1]
+        in_specs += [xblk(0), xblk(1), xblk(2)]
+
+    dt = invd_k1.dtype
+    fld_shape = jax.ShapeDtypeStruct((nd, nzp, nyp, nxp), dt)
+    out_shape = [fld_shape]
+    out_specs = [blk(nd)]
+    if want_resid:
+        out_shape.append(fld_shape)
+        out_specs.append(blk(nd))
+
+    hc = consumed - 1
+    WC = tz + 2 * hc + 1
+    WZ = tz + 2 * consumed
+    scratch = [
+        pltpu.VMEM((nd, WZ, nyp, nxp), dt),           # xw work iterate
+        pltpu.VMEM((2, WC, nk, nyc, nxp), coeff_k.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    kern = functools.partial(
+        _kernel3d_multi, nd=nd, nyp=nyp, nxp=nxp, nyc=nyc, niter=niter,
+        x0_zero=x0_zero, want_resid=want_resid, neg_resid=neg_resid,
+        omega=float(omega), tz=tz, n_tiles=n_tiles, sym_list=sym_list,
+        consumed=consumed,
+    )
+    esize = jnp.dtype(dt).itemsize
+    buf_bytes = (
+        2 * WC * nk * nyc * nxp * jnp.dtype(coeff_k.dtype).itemsize
+        + nd * WZ * nyp * nxp * esize
+        + 2 * (6 + (0 if x0_zero else 3)) * nd * tz * nyp * nxp * esize
+        + 2 * len(out_shape) * nd * tz * nyp * nxp * esize
+    )
+    # Mosaic's scoped-VMEM stack runs ~2x the declared buffers
+    # (measured 66 MB actual vs a 36 MB estimate at 65^3, tz=4)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=(
+                tuple(out_specs) if len(out_specs) > 1 else out_specs[0]
+            ),
+            out_shape=(
+                tuple(out_shape) if len(out_shape) > 1 else out_shape[0]
+            ),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    120 * 1024 * 1024,
+                    int(2.2 * buf_bytes) + (1 << 24),
                 )
             ),
             interpret=interpret,

@@ -386,3 +386,77 @@ def test_sym_storage_matches_full(nd_physics):
             o1, o2 = (o1,), (o2,)
         for a, c in zip(o1, o2):
             assert float(jnp.abs(a - c).max()) < 1e-5, kw
+
+
+@pytest.mark.parametrize("physics", ["elasticity", "poisson"])
+def test_fused_multi_sweep3d_matches_per_sweep(physics):
+    """fused_sweeps3d == the per-sweep kernel sequence on the same data.
+
+    Same tz, same (f32) coefficients: the fused kernel runs the exact
+    per-sweep arithmetic with z-ghost redundant compute, so iterates
+    must agree to reassociation roundoff.
+    """
+    n = 9
+    rng = np.random.default_rng(3)
+    nd = 3 if physics == "elasticity" else 1
+    rho = jnp.asarray(rng.uniform(0.3, 1.0, n ** 3), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nd, n, n, n)), jnp.float32)
+    asm = multigrid.GMGAssembler3D(n, n, n, 1.0, 1.0, 1.0, physics,
+                                   p=3.0, dtype=jnp.float32,
+                                   pallas_smooth=True, pallas_tz=4)
+    gmg, lv0 = asm.assemble(rho)
+    b = jnp.where(lv0.mask, 0.0, b)
+    omega = 0.6
+    for niter in (2, 3):
+        assert lv0.can_fuse3d(niter, True, True)
+        x_f, r_f = lv0.presmooth_resid3d(b, niter, omega)
+        # per-sweep reference sequence (the pre-fusion _cycle path)
+        bk = ps.pack_field3d(b, tz=lv0.tz)
+        x_s = omega * lv0.inv_diag * b
+        for _ in range(niter - 1):
+            x_s = lv0.sweep3d(bk, x_s, omega)
+        r_s = lv0.resid3d(bk, x_s)
+        sc = float(jnp.abs(x_s).max())
+        assert float(jnp.abs(x_f - x_s).max()) < 1e-5 * sc
+        assert float(jnp.abs(r_f - r_s).max()) < 1e-5 * float(
+            jnp.abs(r_s).max()
+        )
+        # post path from a nonzero iterate
+        assert lv0.can_fuse3d(niter, False, False)
+        x_pf = lv0.postsmooth3d(b, x_f, niter, omega)
+        x_ps = x_f
+        for _ in range(niter):
+            x_ps = lv0.sweep3d(bk, x_ps, omega)
+        assert float(jnp.abs(x_pf - x_ps).max()) < 1e-5 * float(
+            jnp.abs(x_ps).max()
+        )
+    # budget: consumed > min(tz, SWEEP3_ZEXT) must be rejected
+    assert not lv0.can_fuse3d(ps.SWEEP3_ZEXT + 1, False, False)
+
+
+def test_gmg3d_pcg_fused_multi_matches_per_sweep_solve():
+    """Full 3D GMG-PCG through the fused multi-sweep V-cycle (tz=4)
+    reproduces the per-sweep (tz=1) solve."""
+    n = 9
+    rng = np.random.default_rng(4)
+    rho = jnp.asarray(rng.uniform(0.3, 1.0, n ** 3), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    sols = {}
+    for tz in (1, 4):
+        asm = multigrid.GMGAssembler3D(n, n, n, 1.0, 1.0, 1.0,
+                                       "elasticity", p=3.0,
+                                       dtype=jnp.float32,
+                                       pallas_smooth=True, pallas_tz=tz)
+        gmg, lv0 = asm.assemble(rho)
+        if tz == 4:
+            assert gmg.levels[0].can_fuse3d(gmg.nu_pre, True, True)
+        bb = jnp.where(lv0.mask, 0.0, b)
+        x, k, _ = multigrid.pcg(lv0.matvec, gmg.apply, bb, rtol=1e-7,
+                                maxiter=100)
+        sols[tz] = (np.asarray(x), int(k))
+    rel = (
+        np.abs(sols[4][0] - sols[1][0]).max()
+        / np.abs(sols[1][0]).max()
+    )
+    assert abs(sols[4][1] - sols[1][1]) <= 2
+    assert rel < 5e-4
