@@ -52,8 +52,10 @@ def run_3d(args, log):
         n, n, n, Lx, Ly, Lz, "elasticity", p=0.0, dtype=dtype,
         nu_pre=args.nu, nu_post=args.nu, smoother_dtype=sm_dtype,
         pallas_smooth=args.pallas_smooth, pallas_min=args.pallas_min,
-        pallas_tz=args.pallas_tz, min_n=args.min_n3d,
-        coarse_dense_max=args.coarse_max,
+        pallas_tz=args.pallas_tz, pallas_asm_min=args.pallas_asm_min,
+        elem_path=args.elem_path,
+        min_n=args.min_n3d, coarse_dense_max=args.coarse_max,
+        **({} if args.omega is None else {"omega": args.omega}),
         **({} if args.pallas_sym is None
            else {"pallas_sym": args.pallas_sym}),
     )
@@ -239,6 +241,9 @@ def main():
                     help="mixed precision: float64 fine operator + CG, "
                          "float32 GMG preconditioner (near-f64 solution)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--omega", type=float, default=None,
+                    help="Jacobi smoother damping (default: each "
+                         "assembler's tuned value)")
     ap.add_argument("--nu", type=int, default=2,
                     help="GMG pre/post smoothing iterations")
     ap.add_argument("--pallas-smooth", dest="pallas_smooth",
@@ -251,6 +256,16 @@ def main():
                     help="row-tile size of the fused smoother kernel")
     ap.add_argument("--pallas-min", dest="pallas_min", type=int, default=0,
                     help="smallest ny*nx level using the Pallas smoother")
+    ap.add_argument("--elem-path", dest="elem_path",
+                    choices=["uniform", "otf", "einsum"],
+                    default="uniform",
+                    help="3D operator route: assembled uniform "
+                         "coefficients, on-the-fly (no coefficient "
+                         "arrays), or per-element einsum")
+    ap.add_argument("--pallas-asm-min", dest="pallas_asm_min", type=int,
+                    default=8192,
+                    help="min nodes for the fused Pallas 3D assembly "
+                         "(smaller levels assemble via XLA)")
     ap.add_argument("--pallas-tz", dest="pallas_tz", type=int, default=1,
                     help="z-slabs per program for the 3D fused kernels")
     ap.add_argument("--pallas-sym", dest="pallas_sym", default=None,
@@ -338,6 +353,7 @@ def run_2d(args, log):
         args.nx, args.ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype,
         nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
         coarse_dense_max=args.coarse_max, smoother_dtype=sm_dtype,
+        **({} if args.omega is None else {"omega": args.omega}),
         pallas_smooth=args.pallas_smooth, pallas_ty=args.pallas_ty,
         pallas_min=args.pallas_min,
         **({} if args.pallas_sym is None

@@ -750,6 +750,8 @@ class Level:
         )
         return ps.unpack_field3d(out, nz, ny, nx)
 
+    # ------------------------------------------------------------------
+
     def dense_factor(self, inverse=True):
         """Dense exact solve data for the coarsest level.
 
@@ -781,6 +783,110 @@ class Level:
         else:
             self.chol = chol
         return self
+
+
+class OTFLevel:
+    """3D grid level applying the operator on the fly (no coefficients).
+
+    Holds the packed density + free-dof mask and the OTF weight tables
+    (``ops.pallas_otf3d``); every matvec/sweep rebuilds the stencil
+    coefficients from the density on the MXU inside the kernel, so no
+    coefficient arrays are ever written to or read from HBM — the 3D
+    solve's dominant traffic on the assembled path.  Exposes the same
+    surface GMG._cycle uses on packed 3D levels.
+    """
+
+    def __init__(self, op, rho_grid, maskf_k1, mask, w3, wd, shape, nd,
+                 p, tz, smoother_bf16=False, interpret=False):
+        from .ops import pallas_smooth as ps
+
+        self.op = op
+        self.coeff = None
+        self.coeff_e = None
+        self.coeff_lp = None
+        self.chol = None
+        self.dense_inv = None
+        self.mask = mask
+        self.shape = tuple(int(s) for s in shape)
+        self.nd = int(nd)
+        self.p = float(p)
+        self.tz = int(tz)
+        self.pallas = False
+        self.pallas3 = True
+        self.pallas_interpret = interpret
+        self.smoother_bf16 = bool(smoother_bf16)
+        self.maskf_k1 = maskf_k1
+        self.w3 = w3
+        self.wd = wd
+        self.rho_k1 = ps.pack_field3d(
+            rho_grid[None], zpad=1, tz=self.tz
+        )[0]
+
+    def _call(self, b, x, **kw):
+        from .ops import pallas_smooth as ps
+        from .ops.pallas_otf3d import otf_apply_3d
+
+        nz, ny, nx = self.shape
+        bk = (
+            ps.pack_field3d(b, zpad=1, tz=self.tz)
+            if b is not None else None
+        )
+        xk = (
+            ps.pack_field3d(x, zpad=1, tz=self.tz)
+            if x is not None else None
+        )
+        return otf_apply_3d(
+            self.rho_k1, self.maskf_k1, self.w3, self.wd, bk, xk,
+            p=self.p, tz=self.tz, shape=self.shape, nd=self.nd,
+            interpret=self.pallas_interpret, **kw,
+        )
+
+    def matvec(self, u):
+        """A u — the PCG operator: f32 HIGHEST matmuls, deterministic."""
+        from .ops import pallas_smooth as ps
+
+        out = self._call(None, u, niter=0, want_resid=True,
+                         neg_resid=True, mxu_bf16=False)
+        return ps.unpack_field3d(out, *self.shape)
+
+    # preconditioner-internal matvec: same operator (OTF has no
+    # low-precision coefficient copy; bf16 enters via the sweep matmuls)
+    matvec_lp = matvec
+
+    def can_fuse3d(self, niter, x0_zero, want_resid):
+        from .ops.pallas_otf3d import otf_budget_ok
+
+        return otf_budget_ok(niter, x0_zero, want_resid, self.tz)
+
+    def presmooth_resid3d(self, b, niter, omega):
+        from .ops import pallas_smooth as ps
+
+        xk, rk = self._call(b, None, niter=niter, want_resid=True,
+                            omega=omega, mxu_bf16=self.smoother_bf16)
+        return (ps.unpack_field3d(xk, *self.shape),
+                ps.unpack_field3d(rk, *self.shape))
+
+    def postsmooth3d(self, b, x0, niter, omega):
+        from .ops import pallas_smooth as ps
+
+        xk = self._call(b, x0, niter=niter, want_resid=False,
+                        omega=omega, mxu_bf16=self.smoother_bf16)
+        return ps.unpack_field3d(xk, *self.shape)
+
+    # per-sweep fallbacks (GMG._cycle when nu exceeds the fused budget)
+    def sweep3d(self, bk, x, omega):
+        from .ops import pallas_smooth as ps
+
+        # bk arrives in the zpad=0 layout from _cycle's fallback; the
+        # OTF kernels consume raw fields, so unpack first
+        b = ps.unpack_field3d(bk, *self.shape)
+        return self.postsmooth3d(b, x, 1, omega)
+
+    def resid3d(self, bk, x):
+        from .ops import pallas_smooth as ps
+
+        b = ps.unpack_field3d(bk, *self.shape)
+        return b - self.matvec(x)
 
 
 class GMG:
@@ -1427,11 +1533,14 @@ def pcg(matvec, precond, b, rtol=1e-6, maxiter=500, x0=None,
     in bfloat16 (rounding makes M change slightly per apply; plain PCG
     then stalls, measured round 1).
     """
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
     tol2 = (rtol * jnp.linalg.norm(b)) ** 2
 
-    r = b - matvec(x0)
+    if x0 is None:
+        # r = b - A*0: skip the setup matvec (a full coefficient read)
+        x0 = jnp.zeros_like(b)
+        r = b
+    else:
+        r = b - matvec(x0)
     z = precond(r)
     pvec = z
     rz = jnp.vdot(r, z)
@@ -1601,11 +1710,28 @@ class GMGAssembler3D:
             Kq = GMGAssembler.unit_matrices(
                 self, creator.X[np.asarray(creator.conn[0])]
             )
+            # on-the-fly operator data (no coefficient arrays at all)
+            otf = None
+            if (
+                elem_path == "otf"
+                and li < len(self.sizes) - 1
+                and self._otf_budget_ok()
+            ):
+                from .ops import pallas_smooth as ps
+                from .ops.pallas_otf3d import otf_weights
+
+                w3, wd = otf_weights(op.plan, np.asarray(Kq), nd, 8)
+                maskf = jnp.asarray((~mask_np).astype(np.float32))
+                maskf_k1 = ps.pack_field3d(
+                    maskf, zpad=1, tz=self.pallas_tz
+                )
+                otf = (jnp.asarray(w3), jnp.asarray(wd), maskf_k1)
             # fused Pallas assembly (packed output) for large levels
             pal = None
             if (
                 self.pallas_smooth
-                and elem_path == "uniform"
+                and otf is None
+                and elem_path in ("uniform", "otf")
                 and li < len(self.sizes) - 1
                 and lnz * lny * lnx >= self.pallas_asm_min
             ):
@@ -1626,8 +1752,18 @@ class GMGAssembler3D:
                 maskf_a = jnp.asarray(pk, dtype)
                 pal = (W3, maskf_a)
             self.static_levels.append(
-                (op, Xe, conn32, mask, (lnz, lny, lnx), Kq, pal)
+                (op, Xe, conn32, mask, (lnz, lny, lnx), Kq, pal, otf)
             )
+
+    def _otf_budget_ok(self):
+        """True when the OTF kernels cover this (nu_pre, nu_post, tz)."""
+        from .ops.pallas_otf3d import otf_budget_ok
+
+        return (
+            self.smoother == "jacobi"
+            and otf_budget_ok(self.nu_pre, True, True, self.pallas_tz)
+            and otf_budget_ok(self.nu_post, False, False, self.pallas_tz)
+        )
 
     def material_planes(self, rho_grid):
         """RAMP material at quads as (nquads, nez, ney, nex) volumes."""
@@ -1680,7 +1816,18 @@ class GMGAssembler3D:
         rho_grid = jnp.asarray(rho, self.dtype).reshape(nz, ny, nx)
         levels = []
         pal_interp = jax.default_backend() == "cpu"
-        for (op, Xe, conn32, mask, shape, Kq, pal) in self.static_levels:
+        for (op, Xe, conn32, mask, shape, Kq, pal,
+             otf) in self.static_levels:
+            if otf is not None:
+                w3, wd, maskf_k1 = otf
+                levels.append(OTFLevel(
+                    op, rho_grid, maskf_k1, mask, w3, wd, shape,
+                    self.nd, self.p, self.pallas_tz,
+                    smoother_bf16=self.smoother_dtype is not None,
+                    interpret=pal_interp,
+                ))
+                rho_grid = _restrict_nodal(rho_grid)
+                continue
             if pal is not None:
                 from .ops import pallas_assemble as pa
                 from .ops.pallas_smooth import _geom3d
@@ -1706,7 +1853,7 @@ class GMGAssembler3D:
                 ))
                 rho_grid = _restrict_nodal(rho_grid)
                 continue
-            if self.elem_path == "uniform":
+            if self.elem_path in ("uniform", "otf"):
                 coeff = op.assemble_uniform(self.material_planes(rho_grid), Kq)
             else:
                 Ke = self._elem_matrices(Xe, conn32, rho_grid.reshape(-1))
