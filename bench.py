@@ -263,9 +263,10 @@ def main():
                          "coefficients, on-the-fly (no coefficient "
                          "arrays), or per-element einsum")
     ap.add_argument("--pallas-asm-min", dest="pallas_asm_min", type=int,
-                    default=8192,
+                    default=0,
                     help="min nodes for the fused Pallas 3D assembly "
-                         "(smaller levels assemble via XLA)")
+                         "(smaller levels assemble via XLA); 0 = every "
+                         "level, the measured-fastest setting on chip")
     ap.add_argument("--pallas-tz", dest="pallas_tz", type=int, default=1,
                     help="z-slabs per program for the 3D fused kernels")
     ap.add_argument("--pallas-sym", dest="pallas_sym", default=None,

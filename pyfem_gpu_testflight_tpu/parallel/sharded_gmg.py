@@ -1011,4 +1011,47 @@ def dryrun(mesh, dtype=jnp.float32):
         topo_obj_last=float(topo.history[-1]["obj"]),
         topo_cg_iters_last=int(topo.history[-1]["cg_iters"]),
     )
+
+    # sharded unstructured AMG: dof-block DIA levels with bandwidth
+    # halos (the reference's pyamg role, pyfem.py:2392-2400, on an
+    # unstructured tri3 mesh; torque-arm equivalence is test-gated in
+    # tests/test_sharded_amg.py)
+    from .. import unstructured
+    from .sharded_amg import ShardedAMGPCG
+
+    # long-thin mesh: RCM bandwidth (~4x the short extent) must fit
+    # inside a device's dof block for the fine level to shard 8 ways
+    creator_u = fem.ProblemCreator(nnodes_x=97, nnodes_y=9,
+                                   element_type="tri")
+    conn_u, X_u, fixed_u, force_u = (
+        creator_u.create_linear_elasticity_problem()
+    )
+    # f64 so "same math, psum-reordered reductions" is visible above
+    # the convergence noise floor (the f32 path is test-gated)
+    model_u = fem.LinearElasticity("tri3", X_u, conn_u, fixed_u, None,
+                                   force_u, dtype=jnp.float64)
+    K_u = model_u.assemble_scipy(model_u.element_jacobian(1.0))
+    K_u, b_u = model_u.bc.apply_scipy(
+        K_u, np.asarray(model_u.compute_rhs())
+    )
+    xu0, ku0, _ = unstructured.amg_pcg(
+        K_u, b_u, nd=2, coords=X_u[:, :2], rtol=1e-8,
+        dtype=jnp.float64, precond_dtype=jnp.float64,
+    )
+    samg = ShardedAMGPCG(mesh, K_u, nd=2, coords=X_u[:, :2],
+                         dtype=jnp.float64)
+    xu1, ku1, rnu1 = samg.solve(b_u, rtol=1e-8)
+    xu1.block_until_ready()
+    rel_amg = float(
+        jnp.linalg.norm(xu1 - xu0) / jnp.linalg.norm(xu0)
+    )
+    assert abs(int(ku1) - int(ku0)) <= 1, (int(ku0), int(ku1))
+    assert rel_amg < 1e-7, rel_amg
+    out.update(
+        amg_ndof=K_u.shape[0],
+        amg_iters=int(ku1),
+        amg_resnorm=float(rnu1),
+        amg_sharded_levels=sum(p["sharded"] for p in samg.plan),
+        amg_vs_single_device_rel=rel_amg,
+    )
     return out
