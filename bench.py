@@ -153,6 +153,7 @@ def run_topo(args, log):
             nx, ny, nz, nu_pre=args.nu, nu_post=args.nu,
             min_n=args.min_n3d, smoother_dtype=sm_dtype,
             pallas_smooth=pal, pallas_tz=args.pallas_tz,
+            **({} if args.omega is None else {"omega": args.omega}),
         )
         filtr = fem.Helmholtz(args.r0, "hex8", np.asarray(X), conn,
                               dtype=dtype, rtol=1e-6)
@@ -171,6 +172,7 @@ def run_topo(args, log):
             nx, ny, nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
             smoother_dtype=sm_dtype, pallas_smooth=pal,
             pallas_ty=args.pallas_ty, pallas_min=args.pallas_min,
+            **({} if args.omega is None else {"omega": args.omega}),
         )
         filtr = fem.Helmholtz(args.r0, "quad4", np.asarray(X), conn,
                               dtype=dtype, rtol=1e-6)
@@ -241,9 +243,15 @@ def main():
                     help="mixed precision: float64 fine operator + CG, "
                          "float32 GMG preconditioner (near-f64 solution)")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--omega", type=float, default=None,
-                    help="Jacobi smoother damping (default: each "
-                         "assembler's tuned value)")
+    ap.add_argument("--omega", type=lambda v: None if v == "default"
+                    else (v if v == "cheby" else float(v)),
+                    default="cheby",
+                    help="smoother damping: a float (stationary "
+                         "Jacobi), or 'cheby' (default) for per-sweep "
+                         "Chebyshev-node factors — same cost per "
+                         "sweep, ~25%% fewer PCG iterations; "
+                         "'default' uses each assembler's tuned "
+                         "stationary value")
     ap.add_argument("--nu", type=int, default=2,
                     help="GMG pre/post smoothing iterations")
     ap.add_argument("--pallas-smooth", dest="pallas_smooth",
@@ -267,8 +275,10 @@ def main():
                     help="min nodes for the fused Pallas 3D assembly "
                          "(smaller levels assemble via XLA); 0 = every "
                          "level, the measured-fastest setting on chip")
-    ap.add_argument("--pallas-tz", dest="pallas_tz", type=int, default=1,
-                    help="z-slabs per program for the 3D fused kernels")
+    ap.add_argument("--pallas-tz", dest="pallas_tz", type=int, default=4,
+                    help="z-slabs per program for the 3D fused kernels "
+                         "(4 measured fastest at 65^3 on v5e; 8 exceeds "
+                         "the scoped-vmem stack)")
     ap.add_argument("--pallas-sym", dest="pallas_sym", default=None,
                     action="store_true",
                     help="half-stencil (symmetric) coefficient storage "

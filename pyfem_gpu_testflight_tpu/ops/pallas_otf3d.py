@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_smooth import _geom3d, _nzpad, halo_sweeps_3d
+from .pallas_smooth import _geom3d, _nzpad, _omega_seq, halo_sweeps_3d
 from .stencil import _HEX8_LOCAL
 
 __all__ = ["otf_weights", "otf_apply_3d", "otf_budget_ok"]
@@ -213,26 +213,28 @@ def _kernel_otf(*refs, nd, nq8, N, nyp, nxp, niter, x0_zero, want_resid,
         return outs
 
     # ---- stages (same scheme as pallas_smooth._kernel3d_multi) ------
+    sw0 = 0
     sweeps = niter
     if x0_zero:
         xw[:] = jnp.zeros(xw.shape, xw.dtype)
         # elementwise first sweep on the full invd extent [zlo, zhi)
         for c in range(nd):
             xw[c, zlo:zhi, 1 : 1 + YI, :] = (
-                omega * invd[c] * fld(bcat, c, zlo, zhi)
+                omega[0] * invd[c] * fld(bcat, c, zlo, zhi)
             )
+        sw0 = 1
         sweeps = niter - 1
     else:
         xcat = jnp.concatenate([r[...] for r in x3], axis=1)
         xw[:] = xcat[:, tz - OFF : 2 * tz + OFF]
 
     g = consumed - 1
-    for _ in range(max(sweeps, 0)):
+    for sw in range(max(sweeps, 0)):
         z0, z1 = OFF - g, OFF + tz + g
         accs = applyA(z0, z1)
         co = z0 - zlo
         for c in range(nd):
-            upd = omega * invd[c][co : co + (z1 - z0)] * (
+            upd = omega[sw0 + sw] * invd[c][co : co + (z1 - z0)] * (
                 fld(bcat, c, z0, z1) - accs[c]
             )
             xw[c, z0:z1, 1 : 1 + YI, :] = (
@@ -345,7 +347,8 @@ def otf_apply_3d(rho_k1, maskf_k1, w3, wd, b_k1=None, x_k1=None, *,
     kern = functools.partial(
         _kernel_otf, nd=nd, nq8=nq8, N=N, nyp=nyp, nxp=nxp,
         niter=niter, x0_zero=x0_zero, want_resid=want_resid,
-        neg_resid=neg_resid, omega=float(omega), p=float(p), tz=tz,
+        neg_resid=neg_resid, omega=_omega_seq(omega, niter),
+        p=float(p), tz=tz,
         consumed=consumed, nez=nz - 1, ney=ny - 1, nex=nx - 1,
         mxu_bf16=bool(mxu_bf16),
     )

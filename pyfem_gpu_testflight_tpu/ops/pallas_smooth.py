@@ -176,6 +176,21 @@ def unpack_field2d(uk, ny, nx):
     return uk[:, :ny, 1 : 1 + nx]
 
 
+def _omega_seq(omega, niter):
+    """Per-sweep damping tuple of length ``niter``.
+
+    A scalar replicates (stationary damped Jacobi); a tuple/list gives
+    one factor per sweep (nonstationary Richardson — e.g. Chebyshev
+    nodes, see multigrid.smoothing_omegas).  Static: folded into the
+    kernel like the scalar was.
+    """
+    if isinstance(omega, (tuple, list)):
+        seq = tuple(float(w) for w in omega)
+        assert len(seq) >= niter, (len(seq), niter)
+        return seq[:niter]
+    return (float(omega),) * niter
+
+
 def _kernel(*refs, nd, TY, W, nxp, niter, x0_zero, b_zero, want_resid,
             neg_resid, omega, n_tiles, sym_list=None):
     # refs: [c, d, (b), (x)] inputs, [x_out?, r_out?] outputs,
@@ -297,6 +312,7 @@ def _kernel(*refs, nd, TY, W, nxp, niter, x0_zero, b_zero, want_resid,
             return None
         return b_s[slot, c, 1 : 1 + WI, 1 : 1 + XI]
 
+    sw0 = 0  # index of the next sweep's damping factor
     sweeps = niter
     if x0_zero:
         xw[:] = jnp.zeros(xw.shape, xw.dtype)
@@ -304,21 +320,22 @@ def _kernel(*refs, nd, TY, W, nxp, niter, x0_zero, b_zero, want_resid,
             # first sweep from x = 0: pure elementwise, no matvec
             for c in range(nd):
                 xw[c, 1 : 1 + WI, 1 : 1 + XI] = (
-                    omega
+                    omega[0]
                     * d_s[slot, c, 1 : 1 + WI, 1 : 1 + XI]
                     * bslice(c)
                 )
+            sw0 = 1
         sweeps = niter - 1
     else:
         xw[:] = x_s[slot]
 
-    for _ in range(max(sweeps, 0)):
+    for sw in range(max(sweeps, 0)):
         accs = matvec(xw)
         upds = []
         for c in range(nd):
             r = (bslice(c) - accs[c]) if b_s is not None else -accs[c]
             upds.append(
-                omega * d_s[slot, c, 1 : 1 + WI, 1 : 1 + XI] * r
+                omega[sw0 + sw] * d_s[slot, c, 1 : 1 + WI, 1 : 1 + XI] * r
             )
         for c in range(nd):
             xw[c, 1 : 1 + WI, 1 : 1 + XI] = (
@@ -364,7 +381,9 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
         want_resid: also return sign*(b - A x_final).
         neg_resid: flip the residual sign (A x - b); with b=None and
             niter=0 this makes the call a plain matvec of x_k.
-        omega: damping factor (static, folded into the kernel).
+        omega: damping factor (static, folded into the kernel) — a
+            scalar, or a tuple of per-sweep factors (len >= niter;
+            Chebyshev-node smoothing, multigrid.smoothing_omegas).
 
     Returns:
         (x_out?, r_out?) as (nd, ny_pad, nxp) arrays in packed column
@@ -430,8 +449,8 @@ def fused_sweeps_2d(coeff_k, invd_k, b_k=None, x_k=None, *, niter=2,
     kern = functools.partial(
         _kernel, nd=nd, TY=ty, W=W, nxp=nxp, niter=niter,
         x0_zero=x0_zero, b_zero=b_zero, want_resid=want_resid,
-        neg_resid=neg_resid, omega=float(omega), n_tiles=n_tiles,
-        sym_list=sym_list,
+        neg_resid=neg_resid, omega=_omega_seq(omega, niter),
+        n_tiles=n_tiles, sym_list=sym_list,
     )
     # scoped-VMEM budget: the double-buffered coefficient windows alone
     # exceed the compiler's 16 MB default at wide grids; v5e has 128 MB
@@ -906,6 +925,7 @@ def _kernel3d_multi(*refs, nd, nyp, nxp, nyc, niter, x0_zero, want_resid,
                          2 - dx : 2 - dx + XI])
         return accs
 
+    sw0 = 0  # index of the next sweep's damping factor
     sweeps = niter
     if x0_zero:
         # first sweep from x = 0 is elementwise (no coefficient read);
@@ -914,8 +934,9 @@ def _kernel3d_multi(*refs, nd, nyp, nxp, nyc, niter, x0_zero, want_resid,
         z0, z1 = OFF - consumed, OFF + tz + consumed
         for c in range(nd):
             xw[c, z0:z1, 1 : 1 + YI, 1 : 1 + XI] = (
-                omega * fld(dcat, c, z0, z1) * fld(bcat, c, z0, z1)
+                omega[0] * fld(dcat, c, z0, z1) * fld(bcat, c, z0, z1)
             )
+        sw0 = 1
         sweeps = niter - 1
     else:
         xcat = jnp.concatenate([r[...] for r in x3], axis=1)
@@ -924,11 +945,11 @@ def _kernel3d_multi(*refs, nd, nyp, nxp, nyc, niter, x0_zero, want_resid,
     # the trailing residual at ghost 0
     g = consumed - 1
 
-    for _ in range(max(sweeps, 0)):
+    for sw in range(max(sweeps, 0)):
         z0, z1 = OFF - g, OFF + tz + g
         accs = matvec(z0, z1)
         for c in range(nd):
-            upd = omega * fld(dcat, c, z0, z1) * (
+            upd = omega[sw0 + sw] * fld(dcat, c, z0, z1) * (
                 fld(bcat, c, z0, z1) - accs[c]
             )
             xw[c, z0:z1, 1 : 1 + YI, 1 : 1 + XI] = (
@@ -1031,8 +1052,8 @@ def fused_sweeps3d(coeff_k, invd_k1, b_k1, x_k1=None, *, niter=2,
     kern = functools.partial(
         _kernel3d_multi, nd=nd, nyp=nyp, nxp=nxp, nyc=nyc, niter=niter,
         x0_zero=x0_zero, want_resid=want_resid, neg_resid=neg_resid,
-        omega=float(omega), tz=tz, n_tiles=n_tiles, sym_list=sym_list,
-        consumed=consumed,
+        omega=_omega_seq(omega, niter), tz=tz, n_tiles=n_tiles,
+        sym_list=sym_list, consumed=consumed,
     )
     esize = jnp.dtype(dt).itemsize
     buf_bytes = (

@@ -401,6 +401,23 @@ class _ShardedGMGBase:
         axis, D, S, nd, dim = self.axis, self.D, self.S, self.nd, self.dim
         nu_pre, nu_post = self.asm.nu_pre, self.asm.nu_post
         omega = self.asm.omega
+
+        def _om(n, reverse=False):
+            """Per-sweep damping factors (see multigrid.GMG._omegas);
+            post-smoothing reverses to keep the V-cycle symmetric."""
+            if omega == "cheby":
+                seq = multigrid.smoothing_omegas(
+                    n, self.asm.cheb_lam,
+                    getattr(self.asm, "cheb_frac", 8.0),
+                )
+            elif isinstance(omega, (tuple, list)):
+                assert len(omega) >= n, (len(omega), n)
+                seq = tuple(float(w) for w in omega)[:n]
+            else:
+                seq = (float(omega),) * n
+            return tuple(reversed(seq)) if reverse else seq
+
+        om_pre, om_post = _om(nu_pre), _om(nu_post, reverse=True)
         rep_coeff, rep_mask, rep_invd, dinv = rep
         fwd = [(i, i + 1) for i in range(D - 1)]
         bwd = [(i + 1, i) for i in range(D - 1)]
@@ -436,20 +453,19 @@ class _ShardedGMGBase:
                 ys.append(acc)
             return jnp.where(mask, u, jnp.stack(ys))
 
-        def smooth(l, x, b, niter, x0_zero=False):
+        def smooth(l, x, b, oms, x0_zero=False):
             mask, invd = sh_mask[l], sh_invd[l]
 
-            if x0_zero and niter > 0:
+            if x0_zero and len(oms) > 0:
                 # first sweep from x = 0 is pure elementwise (skips one
                 # full read of the coefficient planes)
-                x = omega * invd * jnp.where(mask, 0.0, b)
-                niter -= 1
+                x = oms[0] * invd * jnp.where(mask, 0.0, b)
+                oms = oms[1:]
 
-            def body(_, x):
+            for om in oms:
                 r = b - matvec(l, x)
-                return x + omega * invd * jnp.where(mask, 0.0, r)
-
-            return jax.lax.fori_loop(0, niter, body, x)
+                x = x + om * invd * jnp.where(mask, 0.0, r)
+            return x
 
         def restrict_loc(f):
             """Haloed interleave restriction: local fine -> local coarse.
@@ -486,18 +502,25 @@ class _ShardedGMGBase:
         def rep_matvec(i, u):
             return rep_ops[i].bc_matvec(rep_coeff[i], rep_mask[i], u)
 
-        def rep_smooth(i, x, b, niter, x0_zero=False):
+        def rep_smooth(i, x, b, oms, x0_zero=False):
             mask, invd = rep_mask[i], rep_invd[i]
 
-            if x0_zero and niter > 0:
-                x = omega * invd * jnp.where(mask, 0.0, b)
-                niter -= 1
+            if x0_zero and len(oms) > 0:
+                x = oms[0] * invd * jnp.where(mask, 0.0, b)
+                oms = oms[1:]
 
-            def body(_, x):
+            if len(set(oms)) <= 1:
+                om = oms[0] if oms else 0.0
+
+                def body(_, x):
+                    r = b - rep_matvec(i, x)
+                    return x + om * invd * jnp.where(mask, 0.0, r)
+
+                return jax.lax.fori_loop(0, len(oms), body, x)
+            for om in oms:
                 r = b - rep_matvec(i, x)
-                return x + omega * invd * jnp.where(mask, 0.0, r)
-
-            return jax.lax.fori_loop(0, niter, body, x)
+                x = x + om * invd * jnp.where(mask, 0.0, r)
+            return x
 
         def rep_cycle(i, b):
             if i == len(rep_ops) - 1:
@@ -506,15 +529,15 @@ class _ShardedGMGBase:
                     # single-device Level.dense_factor default)
                     x = dinv @ b.reshape(-1)
                     return x.reshape(b.shape)
-                return rep_smooth(i, jnp.zeros_like(b), b, 24,
+                return rep_smooth(i, jnp.zeros_like(b), b, _om(24),
                                   x0_zero=True)
-            x = rep_smooth(i, jnp.zeros_like(b), b, nu_pre, x0_zero=True)
+            x = rep_smooth(i, jnp.zeros_like(b), b, om_pre, x0_zero=True)
             r = jnp.where(rep_mask[i], 0.0, b - rep_matvec(i, x))
             bc = self._restrict_full(r, rep_shapes[i + 1])
             bc = jnp.where(rep_mask[i + 1], 0.0, bc)
             corr = self._prolong_full(rep_cycle(i + 1, bc), rep_shapes[i])
             x = x + jnp.where(rep_mask[i], 0.0, corr)
-            return rep_smooth(i, x, b, nu_post)
+            return rep_smooth(i, x, b, om_post)
 
         # -- fused Pallas smoothing on the local blocks ------------------
         # The flagship single-chip kernels (ops.pallas_smooth) run
@@ -554,7 +577,7 @@ class _ShardedGMGBase:
                 bk = pack2(b, nx_l)
                 xk, rk = ps.fused_sweeps_2d(
                     ck, dk, bk, None, niter=nu_pre, want_resid=True,
-                    omega=omega, ty=ty, interpret=interp,
+                    omega=om_pre, ty=ty, interpret=interp,
                 )
                 return xk[:, :, 1:1 + nx_l], rk[:, :, 1:1 + nx_l], bk
 
@@ -562,7 +585,7 @@ class _ShardedGMGBase:
                 ck, dk, nx_l = packed[l]
                 xk = ps.fused_sweeps_2d(
                     ck, dk, bk, pack2(x, nx_l), niter=nu_post,
-                    want_resid=False, omega=omega, ty=ty,
+                    want_resid=False, omega=om_post, ty=ty,
                     interpret=interp,
                 )
                 return xk[:, :, 1:1 + nx_l]
@@ -601,12 +624,14 @@ class _ShardedGMGBase:
             def presmooth_resid(l, b):
                 ck, ny_l, nx_l = packed[l]
                 bk = pack3(b, ny_l, nx_l)
-                x = omega * sh_invd[l] * jnp.where(sh_mask[l], 0.0, b)
-                for _ in range(nu_pre - 1):
+                x = om_pre[0] * sh_invd[l] * jnp.where(
+                    sh_mask[l], 0.0, b
+                )
+                for om in om_pre[1:]:
                     x = _unp3(ps.fused_sweep_3d(
                         ck, pack3(sh_invd[l], ny_l, nx_l), bk,
                         pack3x(x, ny_l, nx_l), mode="sweep",
-                        omega=omega, tz=1, interpret=interp,
+                        omega=om, tz=1, interpret=interp,
                     ), l)
                 r = _unp3(ps.fused_sweep_3d(
                     ck, None, bk, pack3x(x, ny_l, nx_l), mode="resid",
@@ -616,21 +641,22 @@ class _ShardedGMGBase:
 
             def postsmooth(l, x, b, bk):
                 ck, ny_l, nx_l = packed[l]
-                for _ in range(nu_post):
+                for om in om_post:
                     x = _unp3(ps.fused_sweep_3d(
                         ck, pack3(sh_invd[l], ny_l, nx_l), bk,
                         pack3x(x, ny_l, nx_l), mode="sweep",
-                        omega=omega, tz=1, interpret=interp,
+                        omega=om, tz=1, interpret=interp,
                     ), l)
                 return x
         else:
             def presmooth_resid(l, b):
-                x = smooth(l, jnp.zeros_like(b), b, nu_pre, x0_zero=True)
+                x = smooth(l, jnp.zeros_like(b), b, om_pre,
+                           x0_zero=True)
                 r = jnp.where(sh_mask[l], 0.0, b - matvec(l, x))
                 return x, r, None
 
             def postsmooth(l, x, b, ctx):
-                return smooth(l, x, b, nu_post)
+                return smooth(l, x, b, om_post)
 
         last_shape = self.shapes[S - 1]
         n_last = last_shape[0]
