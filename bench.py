@@ -275,9 +275,10 @@ def main():
                     help="min nodes for the fused Pallas 3D assembly "
                          "(smaller levels assemble via XLA); 0 = every "
                          "level, the measured-fastest setting on chip")
-    ap.add_argument("--pallas-tz", dest="pallas_tz", type=int, default=4,
+    ap.add_argument("--pallas-tz", dest="pallas_tz", type=int, default=5,
                     help="z-slabs per program for the 3D fused kernels "
-                         "(4 measured fastest at 65^3 on v5e; 8 exceeds "
+                         "(5 measured fastest at 65^3 on v5e: 0.0474 "
+                         "single-shot / 0.0234 pipelined; 8 exceeds "
                          "the scoped-vmem stack)")
     ap.add_argument("--pallas-sym", dest="pallas_sym", default=None,
                     action="store_true",

@@ -787,7 +787,8 @@ def fused_sweep_3d(coeff_k, invd_k=None, b_k=None, x_k=None, *,
             scratch_shapes=scratch or [],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
-                    110 * 1024 * 1024, buf_bytes + (1 << 24)
+                    110 * 1024 * 1024,
+                    int(1.2 * buf_bytes) + (1 << 24),
                 )
             ),
             interpret=interpret,
@@ -1078,8 +1079,8 @@ def fused_sweeps3d(coeff_k, invd_k1, b_k1, x_k1=None, *, niter=2,
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
-                    120 * 1024 * 1024,
-                    int(2.2 * buf_bytes) + (1 << 24),
+                    122 * 1024 * 1024,
+                    int(2.6 * buf_bytes) + (1 << 24),
                 )
             ),
             interpret=interpret,
