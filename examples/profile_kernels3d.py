@@ -1,13 +1,17 @@
-"""Micro-timings of the individual 3D fine-level kernels on the device.
+"""Phase timings of the 3D GMG-PCG pipeline on the device.
 
-Times each kernel with the chained-fori methodology (NOTES.md): the
-output feeds the next call's input so the relay cannot serve cached
-results and dispatch stays pipelined; costs come from the difference
-between a long and a short loop.
+Each timed program assembles the hierarchy from nodal rho *inside*
+jit (closing over pre-assembled coefficient arrays would bake ~100 MB
+of constants into the compile payload — the remote-compile relay
+rejects it) and runs a prefix of the solve; phase costs come from
+differences between programs.  Timing uses the chained-dependency
+methodology (NOTES.md): outputs feed the next call's input so the
+relay cannot serve cached results, and costs come from the difference
+between a long and a short pipelined loop.
 
 Usage:
     PYTHONPATH=.:$HOME/.axon_site python examples/profile_kernels3d.py \
-        [--n3d 65 --tz 4 --iters 20]
+        [--n3d 65 --tz 5 --iters 10 --omega cheby]
 """
 
 import argparse
@@ -20,8 +24,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n3d", type=int, default=65)
-    ap.add_argument("--tz", type=int, default=4)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--tz", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--pcg-iters", dest="pcg_iters", type=int, default=7)
+    ap.add_argument("--omega", type=lambda v: v if v == "cheby"
+                    else float(v), default="cheby")
     ap.add_argument("--smoother-dtype", dest="smoother_dtype",
                     choices=["none", "bfloat16"], default="bfloat16")
     args = ap.parse_args()
@@ -33,93 +40,90 @@ def main():
 
     import jax.numpy as jnp
     from pyfem_gpu_testflight_tpu import multigrid
-    from pyfem_gpu_testflight_tpu.ops import pallas_smooth as ps
 
     n = args.n3d
     sm = jnp.bfloat16 if args.smoother_dtype == "bfloat16" else None
     asm = multigrid.GMGAssembler3D(
         n, n, n, 1.0, 1.0, 1.0, "elasticity", p=0.0,
         nu_pre=2, nu_post=2, smoother_dtype=sm, pallas_smooth=True,
-        pallas_tz=args.tz,
+        pallas_tz=args.tz, pallas_asm_min=0, omega=args.omega,
     )
-    rho = jnp.ones((n ** 3,), jnp.float32)
     rng = np.random.default_rng(0)
-    b = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
-
-    gmg, lv0 = asm.assemble(rho)
-    b = jnp.where(lv0.mask, 0.0, b)
+    rho0 = jnp.asarray(1.0 + 0.0 * rng.standard_normal(n ** 3),
+                       jnp.float32)
+    b0 = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
 
     def timed(label, program):
         @jax.jit
-        def step(x):
-            y = program(x)
-            # normalize with a constant so magnitude stays bounded but
-            # the chain carries real data (jnp.max would serialize)
-            return b + 1e-3 * y
+        def step(rho, x):
+            y = program(rho, x)
+            # chain: bounded magnitude, real data (no relay caching)
+            return rho + 1e-6 * jnp.sum(y), b0 + 1e-3 * y
 
-        y = step(b)
+        rho, y = step(rho0, b0)
         y.block_until_ready()
-        y = step(y)
+        rho, y = step(rho, y)
         y.block_until_ready()
         it = args.iters
         t0 = time.time()
-        y = b
+        rho, y = rho0, b0
         for _ in range(it):
-            y = step(y)
+            rho, y = step(rho, y)
         y.block_until_ready()
         t_short = time.time() - t0
         t0 = time.time()
-        y = b
+        rho, y = rho0, b0
         for _ in range(4 * it):
-            y = step(y)
+            rho, y = step(rho, y)
         y.block_until_ready()
         t_long = time.time() - t0
         per = (t_long - t_short) / (3 * it)
-        print(f"  {label}: {per * 1e3:.3f} ms", file=sys.stderr, flush=True)
+        print(f"  {label}: {per * 1e3:.3f} ms", file=sys.stderr,
+              flush=True)
         return per
 
-    # hierarchy is assembled OUTSIDE the timed programs here (it is not
-    # a pytree), so every program re-traces the assembly — keep it out
-    # by closing over the already-assembled level arrays instead
-    lv = gmg.levels[0]
-    lv2 = gmg.levels[1]
+    def assemble(rho):
+        gmg, lv0 = asm.assemble(rho)
+        return gmg, lv0
 
-    timed("fine matvec (f32 single-sweep kernel)", lv.matvec)
-    timed("fine pre(2)+resid fused (bf16)",
-          lambda x: lv.presmooth_resid3d(x, 2, 0.6)[0])
-    timed("fine post(2) fused (bf16)",
-          lambda x: lv.postsmooth3d(x, x, 2, 0.6))
-    timed("fine pack+unpack only",
-          lambda x: ps.unpack_field3d(
-              ps.pack_field3d(x, zpad=1, tz=lv.tz)[:, lv.tz:-lv.tz],
-              *lv.shape))
+    def p_asm(rho, x):
+        gmg, lv0 = assemble(rho)
+        # touch one coefficient so assembly isn't dead-code-eliminated
+        return x * (1.0 + 0.0 * gmg.levels[0].inv_diag)
 
-    def one_sweep(x):
-        bk = ps.pack_field3d(x, tz=lv.tz)
-        return lv.sweep3d(bk, x, 0.6)
+    def p_matvec(rho, x):
+        gmg, lv0 = assemble(rho)
+        return lv0.matvec(jnp.where(lv0.mask, 0.0, x))
 
-    timed("fine single sweep (bf16 per-sweep kernel)", one_sweep)
-
-    def transfers(x):
-        rc = multigrid.restrict3d_il(x, lv2.shape)
-        return multigrid.prolong3d_il(rc, lv.shape)
-
-    timed("restrict+prolong (fine<->L2)", transfers)
-
-    def full_vcycle(x):
+    def p_vcycle(rho, x):
+        gmg, lv0 = assemble(rho)
         return gmg.apply(x)
 
-    timed("full V-cycle", full_vcycle)
+    def make_pcg(k):
+        def p(rho, x):
+            gmg, lv0 = assemble(rho)
+            b = jnp.where(lv0.mask, 0.0, x)
+            u, it, rn = multigrid.pcg_gmg(gmg, lv0, b, rtol=0.0,
+                                          maxiter=k,
+                                          flexible=sm is not None)
+            return u
+        return p
 
-    def fine_only(x):
-        # fine-level portion of the V-cycle: pre+resid, transfers, post
-        xx, r = lv.presmooth_resid3d(x, 2, 0.6)
-        rc = multigrid.restrict3d_il(r, lv2.shape)
-        corr = multigrid.prolong3d_il(rc, lv.shape)
-        xx = xx + jnp.where(lv.mask, 0.0, corr)
-        return lv.postsmooth3d(x, xx, 2, 0.6)
-
-    timed("V-cycle fine-level portion", fine_only)
+    t_a = timed("assembly", p_asm)
+    t_m = timed("assembly + matvec", p_matvec)
+    t_v = timed("assembly + V-cycle", p_vcycle)
+    t_1 = timed("assembly + PCG(1)", make_pcg(1))
+    k = args.pcg_iters
+    t_k = timed(f"assembly + PCG({k})", make_pcg(k))
+    per_iter = (t_k - t_1) / (k - 1)
+    print(
+        f"derived: matvec={1e3 * (t_m - t_a):.3f} ms  "
+        f"vcycle={1e3 * (t_v - t_a):.3f} ms  "
+        f"pcg_iter={1e3 * per_iter:.3f} ms  "
+        f"pcg_setup1={1e3 * (t_1 - t_a - per_iter):.3f} ms  "
+        f"total_pcg{k}={1e3 * t_k:.3f} ms",
+        file=sys.stderr, flush=True,
+    )
 
 
 if __name__ == "__main__":
