@@ -26,6 +26,16 @@ import time
 import numpy as np
 
 
+def _cheb_kw(args):
+    """Optional Chebyshev-interval overrides (assembler defaults else)."""
+    kw = {}
+    if getattr(args, "cheb_lam", None) is not None:
+        kw["cheb_lam"] = args.cheb_lam
+    if getattr(args, "cheb_frac", None) is not None:
+        kw["cheb_frac"] = args.cheb_frac
+    return kw
+
+
 def run_3d(args, log):
     """hex8 3D elasticity GMG-PCG at ~0.8M dof (SciTech hex-sweep role)."""
     import jax
@@ -58,6 +68,7 @@ def run_3d(args, log):
         **({} if args.omega is None else {"omega": args.omega}),
         **({} if args.pallas_sym is None
            else {"pallas_sym": args.pallas_sym}),
+        **_cheb_kw(args),
     )
     log(f"3d gmg levels: {asm.sizes}")
 
@@ -154,6 +165,7 @@ def run_topo(args, log):
             min_n=args.min_n3d, smoother_dtype=sm_dtype,
             pallas_smooth=pal, pallas_tz=args.pallas_tz,
             **({} if args.omega is None else {"omega": args.omega}),
+            **_cheb_kw(args),
         )
         filtr = fem.Helmholtz(args.r0, "hex8", np.asarray(X), conn,
                               dtype=dtype, rtol=1e-6)
@@ -173,6 +185,7 @@ def run_topo(args, log):
             smoother_dtype=sm_dtype, pallas_smooth=pal,
             pallas_ty=args.pallas_ty, pallas_min=args.pallas_min,
             **({} if args.omega is None else {"omega": args.omega}),
+            **_cheb_kw(args),
         )
         filtr = fem.Helmholtz(args.r0, "quad4", np.asarray(X), conn,
                               dtype=dtype, rtol=1e-6)
@@ -254,6 +267,15 @@ def main():
                          "stationary value")
     ap.add_argument("--nu", type=int, default=2,
                     help="GMG pre/post smoothing iterations")
+    ap.add_argument("--cheb-lam", dest="cheb_lam", type=float,
+                    default=None,
+                    help="spectral-radius bound for the Chebyshev-node "
+                         "smoother (default: each assembler's "
+                         "physics-tuned value)")
+    ap.add_argument("--cheb-frac", dest="cheb_frac", type=float,
+                    default=None,
+                    help="smoothing-interval lower bound lam/frac for "
+                         "omega='cheby' (default 8)")
     ap.add_argument("--pallas-smooth", dest="pallas_smooth",
                     action="store_true", default=True,
                     help="fused Pallas Jacobi smoother in the V-cycle "
@@ -370,6 +392,7 @@ def run_2d(args, log):
         pallas_min=args.pallas_min,
         **({} if args.pallas_sym is None
            else {"pallas_sym": args.pallas_sym}),
+        **_cheb_kw(args),
     )
     log(f"gmg levels: {asm.sizes}")
     maxiter, rtol = args.maxiter, args.rtol
