@@ -173,6 +173,107 @@ def device_update_body(x, xold1, xold2, low, upp, g, dc, ci, lb, ub, k,
     return x_new, low, upp, lam, step
 
 
+def device_update_body_multi(x, xold1, xold2, low, upp, g, dC, ci, lb,
+                             ub, k, *, asy_grow=1.2, asy_shrink=0.7,
+                             albefa=0.1, move=0.2, sweeps=8,
+                             psum_axis=None):
+    """Traceable m-constraint MMA update (coordinate-sweep dual).
+
+    The dual of the separable MMA subproblem is solved exactly like the
+    NumPy path (``MMA.optimize`` m > 1 branch): ``sweeps`` rounds of
+    coordinate-wise bracket + 60-step bisection on each multiplier with
+    the others held fixed.  ``dC`` is (m, n), ``ci`` is (m,) with the
+    internal convention gi(x) = ci <= 0 feasible (callers pass -con).
+
+    ``psum_axis``: as :func:`device_update_body` — block-sharded design
+    vectors under ``shard_map``; every device solves the same global
+    dual.
+
+    Returns:
+        (x_new, low, upp, lam (m,), step).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if psum_axis is None:
+        gsum, gmax = jnp.sum, jnp.max
+    else:
+        gsum = lambda a: jax.lax.psum(jnp.sum(a), psum_axis)
+        gmax = lambda a: jax.lax.pmax(jnp.max(a), psum_axis)
+
+    m = dC.shape[0]
+
+    rng = ub - lb
+    sign = (x - xold1) * (xold1 - xold2)
+    fac = jnp.where(sign > 0, asy_grow,
+                    jnp.where(sign < 0, asy_shrink, 1.0))
+    low2 = jnp.clip(x - fac * (xold1 - low),
+                    x - 10.0 * rng, x - 0.01 * rng)
+    upp2 = jnp.clip(x + fac * (upp - xold1),
+                    x + 0.01 * rng, x + 10.0 * rng)
+    low = jnp.where(k >= 2, low2, low)
+    upp = jnp.where(k >= 2, upp2, upp)
+
+    alpha = jnp.maximum(
+        jnp.maximum(lb, low + albefa * (x - low)), x - move * rng
+    )
+    beta = jnp.minimum(
+        jnp.minimum(ub, upp - albefa * (upp - x)), x + move * rng
+    )
+
+    eps0 = 1e-5
+    Umx = upp - x
+    xmL = x - low
+    p0 = Umx**2 * (jnp.maximum(g, 0.0) + 1e-3 * jnp.abs(g) + eps0 / rng)
+    q0 = xmL**2 * (jnp.maximum(-g, 0.0) + 1e-3 * jnp.abs(g) + eps0 / rng)
+    P = Umx[None, :] ** 2 * jnp.maximum(dC, 0.0)
+    Q = xmL[None, :] ** 2 * jnp.maximum(-dC, 0.0)
+    ri = ci - jax.vmap(lambda Pi, Qi: gsum(Pi / Umx + Qi / xmL))(P, Q)
+
+    def solve_x(lam):
+        p = p0 + lam @ P
+        q = q0 + lam @ Q
+        sp = jnp.sqrt(jnp.maximum(p, 0.0))
+        sq = jnp.sqrt(jnp.maximum(q, 0.0))
+        xs = (sp * low + sq * upp) / jnp.maximum(sp + sq, 1e-300)
+        return jnp.clip(xs, alpha, beta)
+
+    def con_value(lam, i):
+        xs = solve_x(lam)
+        return ri[i] + gsum(P[i] / (upp - xs) + Q[i] / (xs - low))
+
+    def coord(i, lam):
+        lam0 = lam.at[i].set(0.0)
+        c0v = con_value(lam0, i)
+
+        def bracket_cond(hi):
+            return (con_value(lam.at[i].set(hi), i) > 0.0) & (hi < 1e12)
+
+        hi = jax.lax.while_loop(bracket_cond, lambda h: h * 10.0,
+                                jnp.asarray(1.0, x.dtype))
+
+        def bisect(_, lohi):
+            lo_b, hi_b = lohi
+            mid = 0.5 * (lo_b + hi_b)
+            gt = con_value(lam.at[i].set(mid), i) > 0.0
+            return (jnp.where(gt, mid, lo_b), jnp.where(gt, hi_b, mid))
+
+        lo_b, hi_b = jax.lax.fori_loop(
+            0, 60, bisect, (jnp.asarray(0.0, x.dtype), hi)
+        )
+        lam_i = jnp.where(c0v <= 0.0, 0.0, 0.5 * (lo_b + hi_b))
+        return lam.at[i].set(lam_i)
+
+    def sweep(_, lam):
+        return jax.lax.fori_loop(0, m, coord, lam)
+
+    lam = jax.lax.fori_loop(0, sweeps, sweep,
+                            jnp.zeros((m,), x.dtype))
+    x_new = solve_x(lam)
+    step = gmax(jnp.abs(x_new - x))
+    return x_new, low, upp, lam, step
+
+
 def _make_device_update(asy_grow, asy_shrink, albefa, move):
     """Jitted wrapper of :func:`device_update_body`."""
     import functools
@@ -229,13 +330,30 @@ class MMA:
         g = np.zeros(n)
         A = [np.zeros(n) for _ in range(m)]
 
-        use_device = (m == 1) and self.device in (True, "auto")
+        # "auto" keeps the NumPy coordinate-sweep dual as the m > 1
+        # default (the oracle path); device=True forces the jitted
+        # subproblem for any m (single-constraint dual bisection, or
+        # the traced coordinate-sweep dual of device_update_body_multi)
+        use_device = self.device is True or (
+            m == 1 and self.device == "auto"
+        )
         if use_device:
+            import functools
+
+            import jax
             import jax.numpy as jnp
 
-            upd = _make_device_update(
-                self.asy_grow, self.asy_shrink, self.albefa, self.move
-            )
+            if m == 1:
+                upd = _make_device_update(
+                    self.asy_grow, self.asy_shrink, self.albefa,
+                    self.move,
+                )
+            else:
+                upd = jax.jit(functools.partial(
+                    device_update_body_multi, asy_grow=self.asy_grow,
+                    asy_shrink=self.asy_shrink, albefa=self.albefa,
+                    move=self.move,
+                ))
             x = jnp.asarray(x)
             xold1, xold2 = x, x
             low_d, upp_d = jnp.asarray(low), jnp.asarray(upp)
@@ -254,12 +372,19 @@ class MMA:
             dci = -np.stack([np.asarray(a, dtype=float) for a in A])
 
             if use_device:
-                x_new, low_d, upp_d, lam_d, step_d = upd(
-                    x, xold1, xold2, low_d, upp_d,
-                    jnp.asarray(g), jnp.asarray(dci[0]),
-                    jnp.asarray(ci[0]), lb_d, ub_d, k,
-                )
-                lam = np.array([float(lam_d)])
+                if m == 1:
+                    x_new, low_d, upp_d, lam_d, step_d = upd(
+                        x, xold1, xold2, low_d, upp_d,
+                        jnp.asarray(g), jnp.asarray(dci[0]),
+                        jnp.asarray(ci[0]), lb_d, ub_d, k,
+                    )
+                else:
+                    x_new, low_d, upp_d, lam_d, step_d = upd(
+                        x, xold1, xold2, low_d, upp_d,
+                        jnp.asarray(g), jnp.asarray(dci),
+                        jnp.asarray(ci), lb_d, ub_d, k,
+                    )
+                lam = np.atleast_1d(np.asarray(lam_d, dtype=float))
                 step = float(step_d)
                 self.history.append(
                     {"iter": k, "obj": float(f0), "con": con.tolist(),
