@@ -137,5 +137,134 @@ class NonlinearPoisson(FEModel):
             verbose=verbose,
         )
 
+    def solve_nonlinear_fused(
+        self, method="gmres", xdv=None, u0=None, tol=1e-10, atol=1e-12,
+        max_iter=10, verbose=True, lin_rtol=1e-8,
+    ):
+        """TPU-native Newton: the whole solve as ONE jitted dispatch.
+
+        The host loop above keeps the reference contract
+        (pyfem.py:2319-2355) with a device sync per iteration; this form
+        runs the same iteration — residual assembly, consistent-tangent
+        assembly, Jacobi-preconditioned CG/GMRES, update — inside a
+        single ``lax.while_loop``, so an entire Newton solve is one
+        dispatch (SURVEY §7 "Newton loop as lax.while_loop").  The
+        residual table streams through ``jax.debug.print``.  Iterates
+        match the host loop to roundoff (gated by
+        tests/test_nonlinear_poisson.py).
+
+        Returns:
+            (u, newton_iters, resnorm): converged solution, number of
+            Newton iterations (residual evaluations), final residual
+            norm.  Raises RuntimeError if a tangent solve stalls (the
+            in-loop guard freezes the iterate; one host sync checks the
+            flag at this public boundary — §5 failure detection).
+        """
+        assert method in ("cg", "gmres")
+        import jax
+
+        xdv = jnp.asarray(xdv, self.dtype)
+        u0 = (jnp.zeros(self.ndof, self.dtype) if u0 is None
+              else jnp.asarray(u0, self.dtype))
+        key = (method, int(max_iter), bool(verbose))
+        if getattr(self, "_fused_newton_cache", None) is None:
+            self._fused_newton_cache = {}
+        if key not in self._fused_newton_cache:
+            mask = self.bc.mask
+            conn_dof = self.conn_dof
+            ndof = self.ndof
+            maxlin = 10 * ndof
+            Xe, dN, N, wq, conn = (
+                self.Xe, self.dN, self.N, self.wq, self.conn
+            )
+            bc = self.bc
+
+            def program(xdv_v, u_init, tol_v, atol_v, lin_rtol_v):
+                def residual(u):
+                    re = _residual_elem(Xe, dN, N, wq, conn, xdv_v, u)
+                    return bc.zero_fixed(
+                        assembly.assemble_vector(re, conn_dof, ndof)
+                    )
+
+                def lin_solve(u, res):
+                    Ke = _tangent_elem(Xe, dN, N, wq, conn, xdv_v, u)
+                    b = bc.constrain_rhs(
+                        res,
+                        lambda v: assembly.elem_matvec(
+                            Ke, conn_dof, v, ndof
+                        ),
+                    )
+                    diag = assembly.elem_diagonal(Ke, conn_dof, ndof)
+                    inv_diag = 1.0 / jnp.where(
+                        mask | (diag == 0), 1.0, diag
+                    )
+                    mv = lambda v: assembly.bc_elem_matvec(
+                        (Ke, conn_dof, mask), v
+                    )
+                    loop = (solvers.cg_loop if method == "cg"
+                            else solvers.gmres_loop)
+                    du, li, lr = loop(mv, b, inv_diag=inv_diag,
+                                      rtol=lin_rtol_v, maxiter=maxlin)
+                    return du, li, lr, jnp.linalg.norm(b)
+
+                def cond(c):
+                    _, k, _, _, done, fail = c
+                    return (~done) & (~fail) & (k < max_iter)
+
+                def body(c):
+                    u, k, rn0, _, _, _ = c
+                    res = residual(u)
+                    rn = jnp.linalg.norm(res)
+                    rn0 = jnp.where(k == 0, rn, rn0)
+                    conv = (k > 0) & ((rn < tol_v * rn0)
+                                      | (rn < atol_v))
+                    if verbose:
+                        jax.debug.print(
+                            "pyfem-tpu-fused {k}  {rn}", k=k, rn=rn
+                        )
+
+                    def take_step(_):
+                        du, li, lr, bnorm = lin_solve(u, res)
+                        if verbose:
+                            jax.debug.print(
+                                "        [" + method
+                                + ": {li} iters, ||r|| = {lr}]",
+                                li=li, lr=lr,
+                            )
+                        # stalled-tangent-solve guard (§5 failure
+                        # detection — the host loop's _check_converged
+                        # raises at the same slack): freeze u and stop
+                        bad = ~(lr <= 10.0 * lin_rtol_v * bnorm)
+                        return jnp.where(bad, u, u - du), bad
+
+                    u_new, fail = jax.lax.cond(
+                        conv,
+                        lambda _: (u, jnp.asarray(False)),
+                        take_step, None,
+                    )
+                    return (u_new, k + 1, rn0, rn, conv, fail)
+
+                zero = jnp.zeros((), jnp.zeros((), self.dtype).real.dtype)
+                u, k, rn0, rn, _, fail = jax.lax.while_loop(
+                    cond, body,
+                    (u_init, jnp.asarray(0, jnp.int32), zero, zero,
+                     jnp.asarray(False), jnp.asarray(False)),
+                )
+                return u, k, rn, fail
+
+            self._fused_newton_cache[key] = jax.jit(program)
+
+        rdt = jnp.zeros((), self.dtype).real.dtype
+        u, k, rn, fail = self._fused_newton_cache[key](
+            xdv, u0, jnp.asarray(tol, rdt), jnp.asarray(atol, rdt),
+            jnp.asarray(lin_rtol, rdt),
+        )
+        if bool(fail):  # one host sync at the public solve boundary
+            raise RuntimeError(
+                f"fused Newton: {method} tangent solve failed to "
+                f"converge at Newton iteration {int(k) - 1}"
+            )
+        return u, k, rn
+
 
 NonlinearPoisson2D = NonlinearPoisson

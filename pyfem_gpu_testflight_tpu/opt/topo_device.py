@@ -197,9 +197,58 @@ class DeviceTopo:
         """Final design in the model's flat nodal layout (hook)."""
         return x
 
+    def save_checkpoint(self, path, state, k_next):
+        """Write the packed optimizer state (device -> host, one npz).
+
+        Captured at a drain point, the file reproduces the
+        uninterrupted run exactly: the MMA update is deterministic in
+        (x, xold1, xold2, low, upp, k) and the state PCG warm start in
+        u_prev (SURVEY §5 checkpoint/resume; host-driver analogue
+        opt/topo.py:119-145).
+        """
+        x, xold1, xold2, low, upp, u_prev = state
+        hist = self.history
+        np.savez(
+            path,
+            x=np.asarray(x), xold1=np.asarray(xold1),
+            xold2=np.asarray(xold2), low=np.asarray(low),
+            upp=np.asarray(upp), u_prev=np.asarray(u_prev),
+            k_next=np.asarray(int(k_next)),
+            hist_iter=np.asarray([r["iter"] for r in hist], np.int64),
+            hist_obj=np.asarray([r["obj"] for r in hist]),
+            hist_con=np.asarray([r["con"] for r in hist]),
+            hist_step=np.asarray([r["step"] for r in hist]),
+            hist_cg=np.asarray([r["cg_iters"] for r in hist], np.int64),
+        )
+
+    def _load_checkpoint(self, path):
+        """Restore (state tuple, k_next) and replay the saved history."""
+        d = np.load(path)
+        state = tuple(
+            jnp.asarray(d[n])
+            for n in ("x", "xold1", "xold2", "low", "upp", "u_prev")
+        )
+        self.history = [
+            {"iter": int(i), "obj": float(o), "con": list(c),
+             "step": float(s), "cg_iters": int(g)}
+            for i, o, c, s, g in zip(
+                d["hist_iter"], d["hist_obj"], d["hist_con"],
+                d["hist_step"], d["hist_cg"],
+            )
+        ]
+        return state, int(d["k_next"])
+
     def optimize(self, max_iterations=200, verbose=True, log_every=10,
-                 callback=None):
+                 callback=None, checkpoint_path=None, resume=None):
         """Run the loop; host syncs only every ``log_every`` iterations.
+
+        Args:
+            checkpoint_path: if set, write the packed optimizer state
+                (npz) at every drain point — the fused-loop analogue of
+                the host driver's checkpointing (opt/topo.py:119-145).
+            resume: path of a previous checkpoint; continues the run
+                bit-for-bit from the saved iteration (same design
+                iterates as the uninterrupted run).
 
         Returns:
             (x, rho): final raw and filtered densities (device arrays).
@@ -212,6 +261,11 @@ class DeviceTopo:
         rng = ub_v - lb_v
         low = x - self.asy_init * rng
         upp = x + self.asy_init * rng
+        k0 = 0
+        if resume is not None:
+            (x, xold1, xold2, low, upp, u_prev), k0 = (
+                self._load_checkpoint(resume)
+            )
 
         pending = []  # (iter, packed (6,) stats device array)
 
@@ -241,7 +295,7 @@ class DeviceTopo:
 
         t0 = time.time()
         self.batch_marks = [(0, 0.0)]  # (iters done, wall) at drains
-        for k in range(max_iterations):
+        for k in range(k0, max_iterations):
             (x, xold1, xold2, low, upp, u_prev, stats) = self._step(
                 x, xold1, xold2, low, upp, u_prev, k, lb_v, ub_v,
                 self._rhs_il, *self._fargs, self._dci,
@@ -250,9 +304,14 @@ class DeviceTopo:
             if (k + 1) % log_every == 0 or k + 1 == max_iterations:
                 drain()
                 self.batch_marks.append((k + 1, time.time() - t0))
+                if checkpoint_path is not None:
+                    self.save_checkpoint(
+                        checkpoint_path,
+                        (x, xold1, xold2, low, upp, u_prev), k + 1,
+                    )
         x.block_until_ready()
         self.elapsed = time.time() - t0
-        self.s_per_iter = self.elapsed / max_iterations
+        self.s_per_iter = self.elapsed / max(1, max_iterations - k0)
         # steady-state rate over the trailing half (drops the one-time
         # first-dispatch/relay costs a long run amortizes anyway)
         half = [(i, t) for (i, t) in self.batch_marks

