@@ -1038,6 +1038,67 @@ def dryrun(mesh, dtype=jnp.float32):
         topo_cg_iters_last=int(topo.history[-1]["cg_iters"]),
     )
 
+    # fused sharded 3D topology optimization: the 3D flagship workload
+    # (bench --config topo --topo-3d; reference topo.py:150-152 with
+    # element_type="block") — z-sharded per-device hierarchy assembly
+    # composed with the sharded 3D Helmholtz filter stencil
+    t3_model = fem.LinearElasticity(
+        "hex8", X3, conn3, fixed3, None, force3, p=3.0, dtype=dtype
+    )
+    t3_model.attach_sharded_grid(mesh, n, n, n)
+    filtr3 = fem.Helmholtz(0.05, "block", np.asarray(X3), conn3,
+                           dtype=dtype)
+    filtr3.attach_structured_grid(n, n, n)
+    topo3 = ShardedDeviceTopo(t3_model, filtr3, fixed_volume=0.4,
+                              rtol=1e-6)
+    xt3, rhot3 = topo3.optimize(max_iterations=2, verbose=False,
+                                log_every=2)
+    xt3.block_until_ready()
+    assert np.isfinite(np.asarray(xt3)).all()
+    assert np.isfinite(np.asarray(rhot3)).all()
+    out.update(
+        topo3d_iters=len(topo3.history),
+        topo3d_obj_last=float(topo3.history[-1]["obj"]),
+        topo3d_cg_iters_last=int(topo3.history[-1]["cg_iters"]),
+    )
+
+    # mid-size fused-Pallas config: each device's local block spans >= 2
+    # smoother row-tiles (ny-1 = 2*ty*D local consuming rows at ty=8,
+    # D=8), so intra-block tile-boundary bugs (ty seams inside one
+    # device's rows) are reachable — the tiny configs above keep one
+    # tile per device and are structurally blind to that class
+    nxm, nym = 17, 129
+    creator_m = fem.ProblemCreator(nnodes_x=nxm, nnodes_y=nym,
+                                   element_type="quad")
+    conn_m, X_m, fixed_m, force_m = (
+        creator_m.create_linear_elasticity_problem()
+    )
+    model_m = fem.LinearElasticity("quad4", X_m, conn_m, fixed_m, None,
+                                   force_m, p=0.0, dtype=dtype)
+    Lxm, Lym = float(X_m[:, 0].max()), float(X_m[:, 1].max())
+    sm_x = ShardedGMG2D(mesh, nxm, nym, Lxm, Lym, "elasticity",
+                        dtype=dtype)
+    sm_p = ShardedGMG2D(mesh, nxm, nym, Lxm, Lym, "elasticity",
+                        dtype=dtype, pallas_smooth=True, pallas_ty=8)
+    tiles_per_dev = sm_p.nl[0] // 8
+    assert tiles_per_dev >= 2, (sm_p.nl[0], tiles_per_dev)
+    rho_m = jnp.ones((model_m.nnodes,), dtype)
+    b_m = interleave_to_planar(
+        jnp.asarray(model_m.compute_rhs(), dtype), 2
+    ).reshape(2, nym, nxm)
+    xm0, km0, _ = sm_x.solve(rho_m, b_m, rtol=1e-6, maxiter=100)
+    xm1, km1, _ = sm_p.solve(rho_m, b_m, rtol=1e-6, maxiter=100)
+    xm1.block_until_ready()
+    rel_m = float(jnp.linalg.norm(xm1 - xm0) / jnp.linalg.norm(xm0))
+    assert np.isfinite(np.asarray(xm1)).all()
+    assert rel_m < 1e-4, rel_m
+    out.update(
+        midsize_ndof=model_m.ndof,
+        midsize_row_tiles_per_device=int(tiles_per_dev),
+        midsize_iters=int(km1),
+        midsize_pallas_vs_xla_rel=rel_m,
+    )
+
     # sharded unstructured AMG: dof-block DIA levels with bandwidth
     # halos (the reference's pyamg role, pyfem.py:2392-2400, on an
     # unstructured tri3 mesh; torque-arm equivalence is test-gated in
