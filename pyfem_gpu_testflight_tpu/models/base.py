@@ -423,9 +423,16 @@ class FEModel:
                 coords=self.X_host, rtol=rtol,
                 maxiter=maxiter or 10 * self.ndof,
                 cache=self._amg_cache,
+                # per-model AMG tuning (e.g. 3D quadratic meshes need a
+                # larger DIA offset budget: set model.amg_options =
+                # {"max_offsets": 4096})
+                **getattr(self, "amg_options", {}),
             )
             _check_converged("amg-pcg", rn,
                              rtol * np.linalg.norm(b_np), k)
+            self.last_solve_stats = {
+                "method": "amg", "iters": int(k), "resnorm": float(rn),
+            }
             return x, jnp.asarray(b_np, self.dtype)
         if method == "direct":
             K = self.assemble_scipy(Ke)

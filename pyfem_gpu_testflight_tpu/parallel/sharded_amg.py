@@ -68,7 +68,8 @@ class ShardedAMGPCG:
                                      dtype=self.dtype, **amg_kw)
         perm = np.asarray(self.amg.perm)
         op0, vals0, offs0 = csr_to_dia(
-            K_csr[perm][:, perm].tocsr(), self.dtype
+            K_csr[perm][:, perm].tocsr(), self.dtype,
+            max_offsets=amg_kw.get("max_offsets", 2048),
         )
         self.op0, self.vals0 = op0, vals0
 

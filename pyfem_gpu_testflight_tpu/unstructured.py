@@ -477,6 +477,7 @@ def amg_pcg(K_csr, b, nd=1, coords=None, dtype=None, rtol=1e-8, atol=0.0,
     op0, vals0, offs0 = csr_to_dia(
         K_csr[np.asarray(amg.perm)][:, np.asarray(amg.perm)].tocsr(),
         dtype,
+        max_offsets=amg_kw.get("max_offsets", 2048),
         offsets=cache.get("offsets0") if cache is not None else None,
     )
     if cache is not None:
