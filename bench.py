@@ -216,10 +216,14 @@ def run_topo(args, log):
         ),
         "value": round(dev.s_per_iter, 4),
         "unit": "s/iter",
-        # baseline: round-1 host-bound loop measured 8.6 s/iter (at
-        # 16k dof; the reference's ParOpt loop is host-bound the same
-        # way — no published number exists, BASELINE.md)
+        # SELF-RELATIVE baseline: this repo's round-1 host-bound loop
+        # measured 8.6 s/iter (at 16k dof).  The reference publishes no
+        # number for its ParOpt loop (BASELINE.md); the driver's 5-s
+        # target is a time-to-solution bar, not a per-iteration one, so
+        # the honest denominator here is our own first implementation.
         "vs_baseline": round(8.6 / dev.s_per_iter, 3),
+        "vs_baseline_note": "self-relative (round-1 host loop, 8.6 "
+                            "s/iter); reference publishes no number",
         "iters": args.topo_iters,
         "steady_s_per_iter": round(dev.steady_s_per_iter, 4),
         "compliance_first": h0["obj"],
@@ -229,12 +233,279 @@ def run_topo(args, log):
     }))
 
 
+_V5E_HBM_GBPS = 819.0  # TPU v5e HBM peak bandwidth (GB/s)
+
+
+def _arr_bytes(*arrs):
+    return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+               for a in arrs if a is not None)
+
+
+def run_profile(args, log):
+    """Per-phase timings + dispatch/sync floor as a JSON artifact.
+
+    Makes the NOTES.md relay-tax and roofline claims driver-reproducible
+    (VERDICT r4 next #9): every phase of the headline GMG-PCG solve —
+    hierarchy assembly, fine smoothing, fine matvec, transfers, coarse
+    solve, one V-cycle, the full solve — is timed as its own jitted
+    program with chained data dependence, reporting both single-shot
+    latency (includes the dispatch round trip) and the steady-state
+    pipelined marginal cost.  ``relay_floor_s`` is the measured
+    dispatch+sync floor of a trivial program; on the tunneled chip it is
+    ~26 ms and explains single_shot - pipelined on every phase.
+
+    Approximate HBM columns: bytes_moved counts coefficient reads plus
+    field reads/writes (formulas in-line below); pct_hbm_peak divides by
+    the v5e peak (819 GB/s).  They are estimates — fusion can remove
+    field traffic — but the coefficient terms are exact lower bounds.
+    """
+    import jax
+    import jax.numpy as jnp
+    import pyfem_gpu_testflight_tpu as fem
+    from pyfem_gpu_testflight_tpu import multigrid
+
+    dtype = jnp.dtype(args.dtype)
+    sm_dtype = jnp.bfloat16 if args.smoother_dtype == "bfloat16" else None
+    three_d = args.profile_dim == "3d"
+    if three_d:
+        n = args.n3d
+        creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                     element_type="block")
+        conn, X, dof_fixed, nodal_force = (
+            creator.create_linear_elasticity_problem()
+        )
+        model = fem.LinearElasticity("hex8", X, conn, dof_fixed, None,
+                                     nodal_force, p=0.0, dtype=dtype)
+        Ls = tuple(float(X[:, k].max()) for k in range(3))
+        asm = multigrid.GMGAssembler3D(
+            n, n, n, *Ls, "elasticity", p=0.0, dtype=dtype,
+            nu_pre=args.nu, nu_post=args.nu, smoother_dtype=sm_dtype,
+            pallas_smooth=args.pallas_smooth, pallas_min=args.pallas_min,
+            pallas_tz=args.pallas_tz, pallas_asm_min=args.pallas_asm_min,
+            elem_path=args.elem_path, min_n=args.min_n3d,
+            coarse_dense_max=args.coarse_max,
+            **({} if args.omega is None else {"omega": args.omega}),
+            **({} if args.pallas_sym is None
+               else {"pallas_sym": args.pallas_sym}),
+            **_cheb_kw(args),
+        )
+        nd, grid = 3, (n, n, n)
+    else:
+        nx, ny = args.nx, args.ny
+        creator = fem.ProblemCreator(nnodes_x=nx, nnodes_y=ny,
+                                     element_type="quad")
+        conn, X, dof_fixed, nodal_force = (
+            creator.create_linear_elasticity_problem()
+        )
+        model = fem.LinearElasticity("quad4", X, conn, dof_fixed, None,
+                                     nodal_force, p=0.0, dtype=dtype)
+        Lx, Ly = float(X[:, 0].max()), float(X[:, 1].max())
+        asm = multigrid.GMGAssembler(
+            nx, ny, Lx, Ly, "elasticity", p=0.0, dtype=dtype,
+            nu_pre=args.nu, nu_post=args.nu, min_n=args.min_n,
+            coarse_dense_max=args.coarse_max, smoother_dtype=sm_dtype,
+            pallas_smooth=args.pallas_smooth, pallas_ty=args.pallas_ty,
+            pallas_min=args.pallas_min,
+            **({} if args.omega is None else {"omega": args.omega}),
+            **({} if args.pallas_sym is None
+               else {"pallas_sym": args.pallas_sym}),
+            **_cheb_kw(args),
+        )
+        nd, grid = 2, (ny, nx)
+    log(f"profile({args.profile_dim}): ndof={model.ndof} "
+        f"levels={asm.sizes}")
+
+    rho = jnp.ones((model.nnodes,), dtype)
+    rhs = jnp.asarray(model.compute_rhs(), dtype)
+    # concrete hierarchy for the phase programs (assembled once, eager)
+    gmg, lv0 = asm.assemble(rho)
+    jax.block_until_ready(lv0.inv_diag)
+    field_shape = (nd,) + grid
+    fbytes = int(np.prod(field_shape)) * dtype.itemsize
+
+    def lv_coeff_bytes(lv, lp=False):
+        ck = getattr(lv, "coeff_lp_k" if lp else "coeff_k", None)
+        if ck is None and lp:
+            ck = getattr(lv, "coeff_lp", None)
+        if ck is None:
+            ck = getattr(lv, "coeff_k", None)
+        if ck is None:
+            ck = getattr(lv, "coeff_e", None)
+        return _arr_bytes(ck) if ck is not None else 0
+
+    def time_phase(fn, x0, label, reps=None):
+        """(single_shot_s, pipelined_s): median serialized latency and
+        steady-state marginal cost of a chained x -> fn(x) program."""
+        reps = reps or args.repeats
+        f = jax.jit(fn)
+        x = jax.block_until_ready(f(x0))  # compile
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            x = jax.block_until_ready(f(x))
+            times.append(time.time() - t0)
+        single = float(np.median(times))
+        depth = 8
+        t0 = time.time()
+        for _ in range(depth):
+            x = f(x)
+        jax.block_until_ready(x)
+        t_short = time.time() - t0
+        t0 = time.time()
+        for _ in range(4 * depth):
+            x = f(x)
+        jax.block_until_ready(x)
+        pipelined = max(
+            0.0, ((time.time() - t0) - t_short) / (3 * depth)
+        )
+        log(f"[profile:{label}] single={single:.4f}s "
+            f"pipelined={pipelined:.4f}s")
+        return single, pipelined
+
+    phases = {}
+
+    def record(label, single, pipelined, bytes_moved=None):
+        e = {"single_shot_s": round(single, 5),
+             "pipelined_s": round(pipelined, 5)}
+        if bytes_moved:
+            # marginal cost when it resolved above timer noise, else the
+            # serialized latency (conservative)
+            t = pipelined if pipelined > 1e-6 else max(single, 1e-9)
+            e["bytes_moved"] = int(bytes_moved)
+            e["approx_gbps"] = round(bytes_moved / t / 1e9, 1)
+            e["pct_hbm_peak"] = round(
+                100.0 * bytes_moved / t / 1e9 / _V5E_HBM_GBPS, 1)
+        phases[label] = e
+
+    # 1. dispatch/sync floor: a trivial program's serialized latency is
+    # pure relay round trip; its pipelined marginal is ~0
+    tiny = jnp.zeros((8, 128), dtype)
+    s, p = time_phase(lambda x: x + 1.0, tiny, "relay_floor", reps=7)
+    relay_floor = max(0.0, s - p)
+    phases["relay_floor"] = {"single_shot_s": round(s, 5),
+                             "pipelined_s": round(p, 5)}
+
+    # 2. full-hierarchy assembly (writes every level's coefficients)
+    asm_bytes = sum(lv_coeff_bytes(lv) for lv in gmg.levels)
+
+    def assemble_phase(c):
+        r = rho + 0.0 * c.reshape(-1)[0].astype(dtype)
+        _, l0 = asm.assemble(r)
+        return l0.coeff_k if l0.coeff_e is None else l0.coeff_e
+
+    c0 = lv0.coeff_k if lv0.coeff_e is None else lv0.coeff_e
+    s, p = time_phase(assemble_phase, c0, "assemble")
+    record("assemble", s, p, asm_bytes)
+
+    # 3. fine-level matvec (PCG operator): coeff + in/out fields
+    s, p = time_phase(
+        lambda u: lv0.matvec(u),
+        jnp.where(lv0.mask, 0.0, jnp.ones(field_shape, dtype)),
+        "fine_matvec")
+    record("fine_matvec", s, p, lv_coeff_bytes(lv0) + 2 * fbytes)
+
+    # 4. fine-level smoothing: the V-cycle's pre-sweeps + residual (the
+    # fused kernels make this one coefficient pass; +3 field passes)
+    nu = gmg.nu_pre
+    fused = getattr(lv0, "pallas", False) or getattr(lv0, "pallas3", False)
+
+    def smooth_phase(r):
+        b = jnp.where(lv0.mask, 0.0, r)
+        if getattr(lv0, "pallas", False):
+            _, rr = lv0.presmooth_resid(b, nu, gmg._omegas(nu))
+            return rr
+        if getattr(lv0, "pallas3", False) and lv0.can_fuse3d(nu, True,
+                                                             True):
+            _, rr = lv0.presmooth_resid3d(b, nu, gmg._omegas(nu))
+            return rr
+        x = gmg._smooth(lv0, jnp.zeros_like(b), b, nu, x0_zero=True)
+        return jnp.where(lv0.mask, 0.0, b - lv0.matvec_lp(x))
+
+    s, p = time_phase(smooth_phase, jnp.ones(field_shape, dtype),
+                      "fine_smooth")
+    smooth_bytes = (lv_coeff_bytes(lv0, lp=True) + 3 * fbytes if fused
+                    else nu * (lv_coeff_bytes(lv0, lp=True) + 2 * fbytes))
+    record("fine_smooth", s, p, smooth_bytes)
+
+    # 5. grid transfers: fine residual -> coarse -> back
+    if len(gmg.levels) > 1:
+        coarse = gmg.levels[1]
+
+        def transfer_phase(r):
+            bc = gmg.restrict_fn(r, coarse.shape)
+            return gmg.prolong_fn(jnp.where(coarse.mask, 0.0, bc),
+                                  lv0.shape)
+
+        s, p = time_phase(transfer_phase, jnp.ones(field_shape, dtype),
+                          "transfers")
+        cbytes = int(np.prod((nd,) + coarse.shape)) * dtype.itemsize
+        record("transfers", s, p, 2 * (fbytes + cbytes))
+
+    # 6. coarse solve (dense inverse / Cholesky at the last level)
+    last = gmg.levels[-1]
+    kl = len(gmg.levels) - 1
+
+    def coarse_phase(b):
+        x = gmg._cycle(kl, jnp.where(last.mask, 0.0, b))
+        return x + b * 0.0
+
+    s, p = time_phase(coarse_phase,
+                      jnp.ones((nd,) + last.shape, dtype), "coarse_solve")
+    record("coarse_solve", s, p)
+
+    # 7. one V-cycle (the PCG preconditioner application)
+    s, p = time_phase(lambda r: gmg.apply(r),
+                      jnp.ones(field_shape, dtype), "vcycle")
+    vbytes = 2 * sum(lv_coeff_bytes(lv, lp=True) for lv in gmg.levels[:-1])
+    record("vcycle", s, p, vbytes)
+
+    # 8. the full solve (assembly + PCG), the headline program
+    from pyfem_gpu_testflight_tpu.ops.dia import (
+        interleave_to_planar, planar_to_interleave,
+    )
+
+    def solve_phase(chain):
+        r = rho + 0.0 * chain[0]
+        g, l0 = asm.assemble(r)
+        b = jnp.where(
+            l0.mask, 0.0,
+            interleave_to_planar(rhs, nd).reshape(field_shape),
+        )
+        x, k, rn = multigrid.pcg_gmg(g, l0, b, rtol=args.rtol,
+                                     maxiter=args.maxiter,
+                                     flexible=sm_dtype is not None)
+        return planar_to_interleave(x.reshape(-1), nd)
+
+    s, p = time_phase(solve_phase, rhs, "full_solve")
+    record("full_solve", s, p)
+
+    print(json.dumps({
+        "metric": (
+            f"GMG-PCG phase profile ({args.profile_dim}), {model.ndof} "
+            f"dof, {args.dtype}, nu={args.nu}"
+        ),
+        "value": round(phases["full_solve"]["pipelined_s"], 5),
+        "unit": "s",
+        "vs_baseline": round(
+            5.0 / max(phases["full_solve"]["pipelined_s"], 1e-9), 3),
+        "relay_floor_s": round(relay_floor, 5),
+        "hbm_peak_gbps": _V5E_HBM_GBPS,
+        "phases": phases,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["all", "2d", "3d", "topo"],
+    ap.add_argument("--config",
+                    choices=["all", "2d", "3d", "topo", "profile"],
                     default="all",
                     help="'all' (default) runs the 2D, 3D, and topo "
-                         "headline configs, one JSON line each")
+                         "headline configs, one JSON line each; "
+                         "'profile' emits per-phase timings + the "
+                         "dispatch/sync floor as JSON")
+    ap.add_argument("--profile-dim", dest="profile_dim",
+                    choices=["2d", "3d"], default="2d",
+                    help="which headline config the phase profile runs")
     ap.add_argument("--n3d", type=int, default=65,
                     help="3D config: nodes per axis")
     ap.add_argument("--topo-iters", dest="topo_iters", type=int,
@@ -342,6 +613,9 @@ def main():
         lambda *a: print(*a, file=sys.stderr, flush=True)
     )
 
+    if args.config == "profile":
+        run_profile(args, log)
+        return
     if args.config == "3d":
         run_3d(args, log)
         return

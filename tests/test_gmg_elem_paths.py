@@ -15,6 +15,10 @@ from pyfem_gpu_testflight_tpu import multigrid
 
 jax.config.update("jax_enable_x64", True)
 
+# the "pallas" route runs interpret-mode kernels (minutes-scale
+# off-chip); the middle tier (-m "not quick and not nightly") skips it
+pytestmark = pytest.mark.nightly
+
 
 def _coeffs(asm, rho):
     gmg, _ = asm.assemble(rho)

@@ -16,6 +16,10 @@ import pytest
 from pyfem_gpu_testflight_tpu import multigrid
 from pyfem_gpu_testflight_tpu.ops import pallas_smooth as ps
 
+# interpret-mode kernel emulation is minutes-scale off-chip; the
+# middle tier (-m "not quick and not nightly") skips these sweeps
+pytestmark = pytest.mark.nightly
+
 
 @pytest.fixture(scope="module")
 def level():

@@ -2,6 +2,11 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
+
+# interpret-mode kernel emulation is minutes-scale off-chip; the
+# middle tier (-m "not quick and not nightly") skips these sweeps
+pytestmark = pytest.mark.nightly
 
 import pyfem_gpu_testflight_tpu as fem
 from pyfem_gpu_testflight_tpu.models.base import ramp
