@@ -129,6 +129,85 @@ def run_3d(args, log):
     }))
 
 
+def run_quadratic(args, log):
+    """brick20 p-multigrid elasticity at ~0.5M live dof.
+
+    The reference's quadratic elements have no solver story past 9^3
+    direct solves (test_elements.py; SciTech sweeps measure assembly
+    only).  This config runs the matrix-free two-level p-multigrid
+    (pmg.py): Chebyshev smoothing on the MXU-batched element operator +
+    a hex8 GMG V-cycle on the linear corner sub-grid, as one compiled
+    PCG program per solve.
+    """
+    import jax
+    import jax.numpy as jnp
+    import pyfem_gpu_testflight_tpu as fem
+
+    n = args.n3d_quad
+    dtype = jnp.dtype(args.dtype)
+    creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n, nnodes_z=n,
+                                 element_type="brick20")
+    conn, X, dof_fixed, nodal_force = (
+        creator.create_linear_elasticity_problem()
+    )
+    model = fem.LinearElasticity("brick20", X, conn, dof_fixed, None,
+                                 nodal_force, p=0.0, dtype=dtype)
+    model.attach_pmg(n, n, n)
+    pmg = model._pmg
+    live = int(np.sum(~np.asarray(pmg.mask_all)))
+    log(f"quadratic: brick20 {n}^3 lattice, {model.nelems} elements, "
+        f"{live} live dof ({model.ndof} lattice dof), dtype={dtype}")
+
+    rho0 = jnp.ones((model.nnodes,), dtype)
+    rtol = args.rtol
+    log("[quadratic] compiling...")
+    t0 = time.time()
+    x, b, k, rn = pmg.solve(rho=rho0, rtol=rtol)
+    jax.block_until_ready(x)
+    log(f"[quadratic] compile+first run: {time.time()-t0:.1f}s "
+        f"iters={int(k)} resnorm={float(rn):.3e}")
+
+    def chained(x):
+        # formal data dependence through rho so pipelined timing can't
+        # be served from a result cache
+        r = rho0 + 0.0 * x.reshape(-1)[0].astype(dtype)
+        return pmg.solve(rho=r, rtol=rtol)[0]
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        x = jax.block_until_ready(chained(x))
+        times.append(time.time() - t0)
+    single = float(np.median(times))
+    depth = 4
+    t0 = time.time()
+    for _ in range(depth):
+        x = chained(x)
+    jax.block_until_ready(x)
+    t_short = time.time() - t0
+    t0 = time.time()
+    for _ in range(3 * depth):
+        x = chained(x)
+    jax.block_until_ready(x)
+    elapsed = max(0.0, ((time.time() - t0) - t_short) / (2 * depth))
+    log(f"[quadratic] single-shot={['%.3f' % t for t in times]} "
+        f"pipelined={elapsed:.4f}s/solve")
+    print(json.dumps({
+        "metric": (
+            f"brick20 p-multigrid elasticity assembly+PCG "
+            f"time-to-solution (single-shot), {live} live dof "
+            f"({n}^3 lattice), {args.dtype}, rtol={rtol}"
+        ),
+        "value": round(single, 4),
+        "unit": "s",
+        "vs_baseline": round(5.0 / max(single, 1e-9), 3),
+        "pcg_iters": int(k),
+        "resnorm": float(rn),
+        "pipelined_s": round(elapsed, 4),
+        "cheb_lam": pmg._cheb_lam,
+    }))
+
+
 def run_topo(args, log):
     """Topology optimization at >= 0.5M dof: s per MMA iteration.
 
@@ -245,25 +324,38 @@ def run_profile(args, log):
     """Per-phase timings + dispatch/sync floor as a JSON artifact.
 
     Makes the NOTES.md relay-tax and roofline claims driver-reproducible
-    (VERDICT r4 next #9): every phase of the headline GMG-PCG solve —
-    hierarchy assembly, fine smoothing, fine matvec, transfers, coarse
-    solve, one V-cycle, the full solve — is timed as its own jitted
-    program with chained data dependence, reporting both single-shot
-    latency (includes the dispatch round trip) and the steady-state
-    pipelined marginal cost.  ``relay_floor_s`` is the measured
-    dispatch+sync floor of a trivial program; on the tunneled chip it is
-    ~26 ms and explains single_shot - pipelined on every phase.
+    (VERDICT r4 next #9).  Every phase program is a FULL jitted program
+    from nodal rho (the proven run_2d timing pattern — no eager ops
+    through the TPU relay, chained data dependence so nothing can be
+    served from a result cache); phase costs are attributed by
+    SUBTRACTING pipelined marginals of nested programs:
+
+        assemble            = t(assemble)
+        fine_smooth         = t(assemble+presmooth) - t(assemble)
+        fine_matvec         = t(assemble+matvec)    - t(assemble)
+        transfers           = t(assemble+presmooth+transfer)
+                              - t(assemble+presmooth)
+        vcycle              = t(assemble+vcycle)    - t(assemble)
+        full_solve          = t(assemble+PCG)       [the headline]
+
+    ``relay_floor_s`` is the measured dispatch+sync latency of a trivial
+    chained program; on the tunneled chip it is ~26 ms and explains
+    single_shot - pipelined on every phase.
 
     Approximate HBM columns: bytes_moved counts coefficient reads plus
-    field reads/writes (formulas in-line below); pct_hbm_peak divides by
-    the v5e peak (819 GB/s).  They are estimates — fusion can remove
-    field traffic — but the coefficient terms are exact lower bounds.
+    field reads/writes (formulas in-line); pct_hbm_peak divides by the
+    v5e peak (819 GB/s).  Estimates — fusion can remove field traffic —
+    but the coefficient terms are exact lower bounds.
     """
     import jax
     import jax.numpy as jnp
     import pyfem_gpu_testflight_tpu as fem
     from pyfem_gpu_testflight_tpu import multigrid
+    from pyfem_gpu_testflight_tpu.ops.dia import (
+        interleave_to_planar, planar_to_interleave,
+    )
 
+    log("[profile] setup...")
     dtype = jnp.dtype(args.dtype)
     sm_dtype = jnp.bfloat16 if args.smoother_dtype == "bfloat16" else None
     three_d = args.profile_dim == "3d"
@@ -317,28 +409,87 @@ def run_profile(args, log):
 
     rho = jnp.ones((model.nnodes,), dtype)
     rhs = jnp.asarray(model.compute_rhs(), dtype)
-    # concrete hierarchy for the phase programs (assembled once, eager)
-    gmg, lv0 = asm.assemble(rho)
-    jax.block_until_ready(lv0.inv_diag)
     field_shape = (nd,) + grid
     fbytes = int(np.prod(field_shape)) * dtype.itemsize
+    nu = int(args.nu)
 
-    def lv_coeff_bytes(lv, lp=False):
-        ck = getattr(lv, "coeff_lp_k" if lp else "coeff_k", None)
-        if ck is None and lp:
-            ck = getattr(lv, "coeff_lp", None)
-        if ck is None:
-            ck = getattr(lv, "coeff_k", None)
-        if ck is None:
-            ck = getattr(lv, "coeff_e", None)
-        return _arr_bytes(ck) if ck is not None else 0
+    def _leaf(chain):
+        return jax.tree_util.tree_leaves(chain)[0].reshape(-1)[0]
 
-    def time_phase(fn, x0, label, reps=None):
+    def _rho(chain):
+        # formal data dependence: back-to-back chained calls can't be
+        # served from any result cache
+        return rho + 0.0 * _leaf(chain).astype(dtype)
+
+    def _b(lv0, chain):
+        rhs_g = interleave_to_planar(rhs, nd).reshape(field_shape)
+        b = jnp.where(lv0.mask, 0.0, rhs_g)
+        return b + 0.0 * _leaf(chain).astype(dtype)
+
+    def _presmooth(gmg, lv0, b):
+        """The V-cycle's fine pre-sweeps + residual (fused when the
+        level runs the Pallas kernels — mirrors GMG._cycle k=0)."""
+        oms = gmg._omegas(gmg.nu_pre)
+        if getattr(lv0, "pallas", False):
+            x, rr = lv0.presmooth_resid(b, gmg.nu_pre, oms)
+            return x, rr
+        if getattr(lv0, "pallas3", False) and lv0.can_fuse3d(
+                gmg.nu_pre, True, True):
+            x, rr = lv0.presmooth_resid3d(b, gmg.nu_pre, oms)
+            return x, rr
+        x = gmg._smooth(lv0, jnp.zeros_like(b), b, gmg.nu_pre,
+                        x0_zero=True)
+        rr = jnp.where(lv0.mask, 0.0, b - lv0.matvec_lp(x))
+        return x, rr
+
+    # phase programs (each one full jit from rho)
+    def p_assemble(chain):
+        # return every level's coefficient arrays so the coarse
+        # hierarchy is not dead-code-eliminated
+        gmg, lv0 = asm.assemble(_rho(chain))
+        out = []
+        for lv in gmg.levels:
+            for c in (getattr(lv, "coeff_k", None), lv.coeff_e,
+                      lv.dense_inv, lv.chol):
+                if c is not None:
+                    out.append(c[0] if isinstance(c, tuple) else c)
+        return tuple(out)
+
+    def p_asm_matvec(chain):
+        gmg, lv0 = asm.assemble(_rho(chain))
+        return lv0.matvec(_b(lv0, chain))
+
+    def p_asm_smooth(chain):
+        gmg, lv0 = asm.assemble(_rho(chain))
+        x, rr = _presmooth(gmg, lv0, _b(lv0, chain))
+        return rr
+
+    def p_asm_smooth_transfer(chain):
+        gmg, lv0 = asm.assemble(_rho(chain))
+        x, rr = _presmooth(gmg, lv0, _b(lv0, chain))
+        coarse = gmg.levels[1]
+        bc = gmg.restrict_fn(rr, coarse.shape)
+        bc = jnp.where(coarse.mask, 0.0, bc)
+        return gmg.prolong_fn(bc, lv0.shape)
+
+    def p_asm_vcycle(chain):
+        gmg, lv0 = asm.assemble(_rho(chain))
+        return gmg.apply(_b(lv0, chain))
+
+    def p_full_solve(chain):
+        gmg, lv0 = asm.assemble(_rho(chain))
+        x, k, rn = multigrid.pcg_gmg(
+            gmg, lv0, _b(lv0, chain), rtol=args.rtol,
+            maxiter=args.maxiter, flexible=sm_dtype is not None,
+        )
+        return planar_to_interleave(x.reshape(-1), nd)
+
+    def time_program(fn, label, reps=None):
         """(single_shot_s, pipelined_s): median serialized latency and
-        steady-state marginal cost of a chained x -> fn(x) program."""
+        steady-state marginal of the chained program (run_2d pattern)."""
         reps = reps or args.repeats
         f = jax.jit(fn)
-        x = jax.block_until_ready(f(x0))  # compile
+        x = jax.block_until_ready(f(rhs))  # compile
         times = []
         for _ in range(reps):
             t0 = time.time()
@@ -362,132 +513,88 @@ def run_profile(args, log):
             f"pipelined={pipelined:.4f}s")
         return single, pipelined
 
-    phases = {}
+    # dispatch/sync floor: trivial chained program; its serialized
+    # latency is pure relay round trip, its pipelined marginal ~0
+    fl_s, fl_p = time_program(lambda c: c + 1.0, "relay_floor", reps=7)
+    relay_floor = max(0.0, fl_s - fl_p)
 
-    def record(label, single, pipelined, bytes_moved=None):
-        e = {"single_shot_s": round(single, 5),
-             "pipelined_s": round(pipelined, 5)}
-        if bytes_moved:
-            # marginal cost when it resolved above timer noise, else the
-            # serialized latency (conservative)
-            t = pipelined if pipelined > 1e-6 else max(single, 1e-9)
-            e["bytes_moved"] = int(bytes_moved)
-            e["approx_gbps"] = round(bytes_moved / t / 1e9, 1)
-            e["pct_hbm_peak"] = round(
-                100.0 * bytes_moved / t / 1e9 / _V5E_HBM_GBPS, 1)
-        phases[label] = e
+    raw = {}
+    for label, fn in (
+        ("assemble", p_assemble),
+        ("asm+matvec", p_asm_matvec),
+        ("asm+smooth", p_asm_smooth),
+        ("asm+smooth+transfer", p_asm_smooth_transfer),
+        ("asm+vcycle", p_asm_vcycle),
+        ("full_solve", p_full_solve),
+    ):
+        raw[label] = time_program(fn, label)
 
-    # 1. dispatch/sync floor: a trivial program's serialized latency is
-    # pure relay round trip; its pipelined marginal is ~0
-    tiny = jnp.zeros((8, 128), dtype)
-    s, p = time_phase(lambda x: x + 1.0, tiny, "relay_floor", reps=7)
-    relay_floor = max(0.0, s - p)
-    phases["relay_floor"] = {"single_shot_s": round(s, 5),
-                             "pipelined_s": round(p, 5)}
+    # subtractive attribution on the pipelined marginals
+    t_asm = raw["assemble"][1]
+    derived = {
+        "fine_matvec": raw["asm+matvec"][1] - t_asm,
+        "fine_smooth": raw["asm+smooth"][1] - t_asm,
+        "transfers": raw["asm+smooth+transfer"][1] - raw["asm+smooth"][1],
+        "vcycle": raw["asm+vcycle"][1] - t_asm,
+    }
 
-    # 2. full-hierarchy assembly (writes every level's coefficients)
-    asm_bytes = sum(lv_coeff_bytes(lv) for lv in gmg.levels)
-
-    def assemble_phase(c):
-        r = rho + 0.0 * c.reshape(-1)[0].astype(dtype)
-        _, l0 = asm.assemble(r)
-        return l0.coeff_k if l0.coeff_e is None else l0.coeff_e
-
-    c0 = lv0.coeff_k if lv0.coeff_e is None else lv0.coeff_e
-    s, p = time_phase(assemble_phase, c0, "assemble")
-    record("assemble", s, p, asm_bytes)
-
-    # 3. fine-level matvec (PCG operator): coeff + in/out fields
-    s, p = time_phase(
-        lambda u: lv0.matvec(u),
-        jnp.where(lv0.mask, 0.0, jnp.ones(field_shape, dtype)),
-        "fine_matvec")
-    record("fine_matvec", s, p, lv_coeff_bytes(lv0) + 2 * fbytes)
-
-    # 4. fine-level smoothing: the V-cycle's pre-sweeps + residual (the
-    # fused kernels make this one coefficient pass; +3 field passes)
-    nu = gmg.nu_pre
-    fused = getattr(lv0, "pallas", False) or getattr(lv0, "pallas3", False)
-
-    def smooth_phase(r):
-        b = jnp.where(lv0.mask, 0.0, r)
-        if getattr(lv0, "pallas", False):
-            _, rr = lv0.presmooth_resid(b, nu, gmg._omegas(nu))
-            return rr
-        if getattr(lv0, "pallas3", False) and lv0.can_fuse3d(nu, True,
-                                                             True):
-            _, rr = lv0.presmooth_resid3d(b, nu, gmg._omegas(nu))
-            return rr
-        x = gmg._smooth(lv0, jnp.zeros_like(b), b, nu, x0_zero=True)
-        return jnp.where(lv0.mask, 0.0, b - lv0.matvec_lp(x))
-
-    s, p = time_phase(smooth_phase, jnp.ones(field_shape, dtype),
-                      "fine_smooth")
-    smooth_bytes = (lv_coeff_bytes(lv0, lp=True) + 3 * fbytes if fused
-                    else nu * (lv_coeff_bytes(lv0, lp=True) + 2 * fbytes))
-    record("fine_smooth", s, p, smooth_bytes)
-
-    # 5. grid transfers: fine residual -> coarse -> back
-    if len(gmg.levels) > 1:
-        coarse = gmg.levels[1]
-
-        def transfer_phase(r):
-            bc = gmg.restrict_fn(r, coarse.shape)
-            return gmg.prolong_fn(jnp.where(coarse.mask, 0.0, bc),
-                                  lv0.shape)
-
-        s, p = time_phase(transfer_phase, jnp.ones(field_shape, dtype),
-                          "transfers")
-        cbytes = int(np.prod((nd,) + coarse.shape)) * dtype.itemsize
-        record("transfers", s, p, 2 * (fbytes + cbytes))
-
-    # 6. coarse solve (dense inverse / Cholesky at the last level)
-    last = gmg.levels[-1]
-    kl = len(gmg.levels) - 1
-
-    def coarse_phase(b):
-        x = gmg._cycle(kl, jnp.where(last.mask, 0.0, b))
-        return x + b * 0.0
-
-    s, p = time_phase(coarse_phase,
-                      jnp.ones((nd,) + last.shape, dtype), "coarse_solve")
-    record("coarse_solve", s, p)
-
-    # 7. one V-cycle (the PCG preconditioner application)
-    s, p = time_phase(lambda r: gmg.apply(r),
-                      jnp.ones(field_shape, dtype), "vcycle")
-    vbytes = 2 * sum(lv_coeff_bytes(lv, lp=True) for lv in gmg.levels[:-1])
-    record("vcycle", s, p, vbytes)
-
-    # 8. the full solve (assembly + PCG), the headline program
-    from pyfem_gpu_testflight_tpu.ops.dia import (
-        interleave_to_planar, planar_to_interleave,
+    # byte estimates: coefficient traffic is sized from the packed
+    # coefficient layout (nd*nd*9 [2D] / nd*nd*27 [3D] planes; sym
+    # storage roughly halves it; bf16 smoother copies halve it again)
+    taps = 9 if nd == 2 else 27
+    npts = int(np.prod(grid))
+    sym = args.pallas_sym if args.pallas_sym is not None else three_d
+    coeff_bytes = nd * nd * taps * npts * dtype.itemsize
+    if sym:
+        coeff_bytes = coeff_bytes * 19 // 36 if nd == 2 else (
+            coeff_bytes * 63 // 108)
+    coeff_lp_bytes = (
+        coeff_bytes // (dtype.itemsize // jnp.dtype(sm_dtype).itemsize)
+        if sm_dtype else coeff_bytes
     )
+    bytes_est = {
+        # writes every level's coefficients (fine level dominates the
+        # geometric series: x ~4/3 in 2D, ~8/7 in 3D)
+        "assemble": int(coeff_bytes * (4 / 3 if nd == 2 else 8 / 7)),
+        # coeff read + field in/out
+        "fine_matvec": coeff_bytes + 2 * fbytes,
+        # fused sweeps: one low-precision coefficient pass + 3 fields
+        "fine_smooth": coeff_lp_bytes + 3 * fbytes,
+        "transfers": int(2 * fbytes * 1.25),
+        # pre+post coefficient passes over the level series
+        "vcycle": int(2 * coeff_lp_bytes * (4 / 3 if nd == 2 else 8 / 7)),
+    }
 
-    def solve_phase(chain):
-        r = rho + 0.0 * chain[0]
-        g, l0 = asm.assemble(r)
-        b = jnp.where(
-            l0.mask, 0.0,
-            interleave_to_planar(rhs, nd).reshape(field_shape),
-        )
-        x, k, rn = multigrid.pcg_gmg(g, l0, b, rtol=args.rtol,
-                                     maxiter=args.maxiter,
-                                     flexible=sm_dtype is not None)
-        return planar_to_interleave(x.reshape(-1), nd)
-
-    s, p = time_phase(solve_phase, rhs, "full_solve")
-    record("full_solve", s, p)
+    phases = {"relay_floor": {"single_shot_s": round(fl_s, 5),
+                              "pipelined_s": round(fl_p, 5)}}
+    for label, (s, p) in raw.items():
+        phases[label] = {"single_shot_s": round(s, 5),
+                         "pipelined_s": round(p, 5)}
+    for label, t in derived.items():
+        t = max(t, 0.0)
+        e = {"pipelined_s": round(t, 5), "derived": True}
+        b = bytes_est.get(label)
+        if b and t > 1e-6:
+            e["bytes_moved"] = int(b)
+            e["approx_gbps"] = round(b / t / 1e9, 1)
+            e["pct_hbm_peak"] = round(100.0 * b / t / 1e9 / _V5E_HBM_GBPS,
+                                      1)
+        phases[label] = e
+    b = bytes_est["assemble"]
+    t = phases["assemble"]["pipelined_s"]
+    if t > 1e-6:
+        phases["assemble"].update(
+            bytes_moved=int(b), approx_gbps=round(b / t / 1e9, 1),
+            pct_hbm_peak=round(100.0 * b / t / 1e9 / _V5E_HBM_GBPS, 1))
 
     print(json.dumps({
         "metric": (
             f"GMG-PCG phase profile ({args.profile_dim}), {model.ndof} "
-            f"dof, {args.dtype}, nu={args.nu}"
+            f"dof, {args.dtype}, nu={nu}"
         ),
-        "value": round(phases["full_solve"]["pipelined_s"], 5),
+        "value": round(raw["full_solve"][1], 5),
         "unit": "s",
-        "vs_baseline": round(
-            5.0 / max(phases["full_solve"]["pipelined_s"], 1e-9), 3),
+        "vs_baseline": round(5.0 / max(raw["full_solve"][1], 1e-9), 3),
         "relay_floor_s": round(relay_floor, 5),
         "hbm_peak_gbps": _V5E_HBM_GBPS,
         "phases": phases,
@@ -497,7 +604,8 @@ def run_profile(args, log):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config",
-                    choices=["all", "2d", "3d", "topo", "profile"],
+                    choices=["all", "2d", "3d", "quadratic", "topo",
+                             "profile"],
                     default="all",
                     help="'all' (default) runs the 2D, 3D, and topo "
                          "headline configs, one JSON line each; "
@@ -506,6 +614,9 @@ def main():
     ap.add_argument("--profile-dim", dest="profile_dim",
                     choices=["2d", "3d"], default="2d",
                     help="which headline config the phase profile runs")
+    ap.add_argument("--n3d-quad", dest="n3d_quad", type=int, default=65,
+                    help="quadratic config: brick20 lattice nodes per "
+                         "axis (65 -> ~0.42M live dof)")
     ap.add_argument("--n3d", type=int, default=65,
                     help="3D config: nodes per axis")
     ap.add_argument("--topo-iters", dest="topo_iters", type=int,
@@ -523,6 +634,11 @@ def main():
     ap.add_argument("--rtol", type=float, default=1e-6)
     ap.add_argument("--maxiter", type=int, default=200)
     ap.add_argument("--precond", choices=["gmg", "jacobi"], default="gmg")
+    ap.add_argument("--accuracy-op", dest="accuracy_op",
+                    choices=["df64", "xla64"], default="df64",
+                    help="accuracy-mode fine operator: compensated "
+                         "two-float32 stencil matvec (df64, default) "
+                         "or XLA's software-f64 emulation (xla64)")
     ap.add_argument("--accuracy", action="store_true",
                     help="mixed precision: float64 fine operator + CG, "
                          "float32 GMG preconditioner (near-f64 solution)")
@@ -619,6 +735,9 @@ def main():
     if args.config == "3d":
         run_3d(args, log)
         return
+    if args.config == "quadratic":
+        run_quadratic(args, log)
+        return
     if args.config == "topo":
         run_topo(args, log)
         return
@@ -628,7 +747,8 @@ def main():
 
     # default: all three headline configs, one JSON line each; a failure
     # in one config must not lose the others' numbers
-    for name, fn in (("2d", run_2d), ("3d", run_3d), ("topo", run_topo)):
+    for name, fn in (("2d", run_2d), ("3d", run_3d),
+                     ("quadratic", run_quadratic), ("topo", run_topo)):
         try:
             fn(args, log)
         except Exception as e:  # noqa: BLE001 - keep remaining configs
@@ -685,26 +805,46 @@ def run_2d(args, log):
     def make_accuracy_step():
         rtol64 = 1e-11 if args.rtol == 1e-6 else args.rtol
         st0 = asm.static_levels[0][0]
+        mask0 = asm.static_levels[0][3]
         asm64 = multigrid.GMGAssembler(
             args.nx, args.ny, Lx, Ly, "elasticity", p=0.0,
             dtype=jnp.float64,
         )
         Kq64 = asm64.static_levels[0][5]
+        df = args.accuracy_op == "df64"
 
         # Two jits: the f64 assembly program compiles separately from
         # the solve (one compiler OOM'd on the fused program)
         @jax.jit
         def assemble64(rho):
             rho_grid = rho.astype(jnp.float64).reshape(args.ny, args.nx)
-            return st0.assemble_uniform(
+            coeff64 = st0.assemble_uniform(
                 asm64.material_planes(rho_grid), Kq64
             )
+            if not df:
+                return coeff64
+            # double-float operator (ops/df64.py): BC-eliminated f64
+            # coefficients split into an (hi, lo) f32 pair — the matvec
+            # then runs compensated f32 vector arithmetic instead of
+            # XLA's software-f64 emulation (the accuracy-mode tax,
+            # VERDICT r4 weak #1)
+            from pyfem_gpu_testflight_tpu.ops import df64 as dfmod
+
+            return dfmod.df_split(st0.bc_eliminate(coeff64, mask0))
 
         def solve64(coeff64, rho, rhs, chain):
+            from pyfem_gpu_testflight_tpu.ops import df64 as dfmod
+
             rho = rho + 0.0 * chain[0].astype(rho.dtype)
             gmg32, lv0 = asm.assemble(rho)  # f32 (Pallas) hierarchy
             mask = lv0.mask
-            matvec = lambda u: st0.bc_matvec(coeff64, mask, u)
+            if df:
+                chi, clo = coeff64
+                matvec = lambda u: dfmod.stencil_matvec_f64(
+                    st0, chi, clo, u
+                )
+            else:
+                matvec = lambda u: st0.bc_matvec(coeff64, mask, u)
 
             def precond(r):
                 z = gmg32.apply(

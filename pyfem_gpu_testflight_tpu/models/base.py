@@ -240,6 +240,22 @@ class FEModel:
             jnp.iscomplexobj(v) for v in (rho, phi, psi)
         )
 
+    def attach_pmg(self, nnodes_x, nnodes_y, nnodes_z, **pmg_options):
+        """Enable the p-multigrid fast path for structured quadratic
+        meshes (tet10/brick20 node lattices from ProblemCreator).
+
+        Matrix-free Chebyshev smoothing on the quadratic operator + a
+        hex8 GMG V-cycle on the linear corner sub-grid (see pmg.py);
+        afterwards ``solve(method="pmg")`` runs one compiled PCG
+        program per solve.  This is the scale path the reference never
+        had for its quadratic elements (its tests stop at 9^3 direct
+        solves, test_elements.py).
+        """
+        from ..pmg import PMG
+
+        self._pmg = PMG(self, nnodes_x, nnodes_y, nnodes_z, **pmg_options)
+        return self
+
     def attach_sharded_grid(self, mesh, nnodes_x, nnodes_y, nnodes_z=None,
                             **gmg_options):
         """Enable the multi-device sharded GMG solve path (2D quad4 or
@@ -391,7 +407,20 @@ class FEModel:
             (u, b): solution and the BC-applied rhs (used by compliance).
         """
         assert method in ("direct", "cg", "gmres", "gmg", "sharded_gmg",
-                          "amg")
+                          "amg", "pmg")
+        if method == "pmg":
+            assert getattr(self, "_pmg", None) is not None, (
+                "call attach_pmg(nx, ny, nz) before method='pmg'"
+            )
+            x, b, k, rn = self._pmg.solve(
+                rho=rho if rho is not None else 1.0, rhs=rhs, rtol=rtol,
+                maxiter=maxiter or 400,
+            )
+            _check_converged("pmg-pcg", rn, rtol * jnp.linalg.norm(b), k)
+            self.last_solve_stats = {
+                "method": "pmg", "iters": int(k), "resnorm": float(rn),
+            }
+            return x, b
         if method == "gmg":
             assert getattr(self, "_gmg_asm", None) is not None, (
                 "call attach_structured_grid(nx, ny) before method='gmg'"

@@ -168,7 +168,7 @@ class LinearElasticity(FEModel):
 
     def solve(self, method="cg", rho=1.0, rtol=1e-8, maxiter=None):
         """Static solve (direct | cg | gmres | gmg)."""
-        Ke = None if method in ("gmg", "sharded_gmg") else self.element_jacobian(rho)
+        Ke = None if method in ("gmg", "sharded_gmg", "pmg") else self.element_jacobian(rho)
         u, _ = self._solve_system(Ke, self.compute_rhs(), method, rtol,
                                   rho=rho, maxiter=maxiter)
         return u
@@ -178,7 +178,7 @@ class LinearElasticity(FEModel):
     def compliance(self, rho, solver="cg"):
         """Compliance c = <rhs_bc, u> and state u (pyfem.py:1797-1834)."""
         rho = self._as_nodal(rho)
-        Ke = None if solver in ("gmg", "sharded_gmg") else self.element_jacobian(rho)
+        Ke = None if solver in ("gmg", "sharded_gmg", "pmg") else self.element_jacobian(rho)
         u, b = self._solve_system(Ke, self.compute_rhs(), solver, rho=rho)
         return b.dot(u), u
 

@@ -161,7 +161,7 @@ class LinearPoisson(FEModel):
 
     def solve(self, method="cg", rho=1.0, rtol=1e-8, maxiter=None):
         """Static solve with Dirichlet BCs (direct | cg | gmres | gmg)."""
-        Ke = None if method in ("gmg", "sharded_gmg") else self.element_jacobian(rho)
+        Ke = None if method in ("gmg", "sharded_gmg", "pmg") else self.element_jacobian(rho)
         u, _ = self._solve_system(Ke, self.compute_rhs(), method, rtol,
                                   rho=rho, maxiter=maxiter)
         return u
@@ -174,7 +174,7 @@ class LinearPoisson(FEModel):
         Mirrors pyfem.py:1032-1073; complex-step requires solver='direct'.
         """
         rho = self._as_nodal(rho)
-        Ke = None if solver in ("gmg", "sharded_gmg") else self.element_jacobian(rho)
+        Ke = None if solver in ("gmg", "sharded_gmg", "pmg") else self.element_jacobian(rho)
         u, b = self._solve_system(Ke, self.compute_rhs(), solver, rho=rho)
         if weighted:
             return b.dot(u), u
@@ -191,7 +191,7 @@ class LinearPoisson(FEModel):
         if weighted:
             psi = u  # self-adjoint
         else:
-            Ke = None if solver in ("gmg", "sharded_gmg") else self.element_jacobian(rho)
+            Ke = None if solver in ("gmg", "sharded_gmg", "pmg") else self.element_jacobian(rho)
             rhs = jnp.ones(self.ndof, dtype=self.dtype)
             psi, _ = self._solve_system(Ke, rhs, solver, rho=rho)
             psi = psi / self.ndof
