@@ -107,12 +107,123 @@ class NonlinearPoisson(FEModel):
         """BC-applied residual: fixed dofs zeroed (dof values pinned)."""
         return self.bc.zero_fixed(self.compute_rhs(xdv, u))
 
+    def attach_structured_grid(self, nnodes_x, nnodes_y, **gmg_options):
+        """Enable GMG preconditioning of the Newton tangent solves.
+
+        The tangent (pyfem.py:1595-1609) splits into a dominant SPD
+        variable-coefficient Poisson part — coefficient
+        ``c(x, u) = h(x) (1 + u^2)`` — plus a low-order nonsymmetric
+        term ``2 h u_q (B u_e) N^T``.  On a structured quad grid the
+        SPD part is exactly what :class:`multigrid.GMGAssembler` builds
+        for ``physics="poisson"`` with ``p=0`` (RAMP at p=0 is the
+        identity material map), fed the *nodal* coefficient field as
+        "density".  ``solve_nonlinear(method="gmg")`` /
+        ``solve_nonlinear_fused(method="gmg")`` then run
+        V-cycle-right-preconditioned GMRES on the exact assembled
+        tangent stencil — mesh-independent linear iteration counts
+        where Jacobi-GMRES grows with the grid.
+
+        The reference has no scalable path for its nonlinear model
+        (pyamg is never wired into the Newton loop; solve_nonlinear
+        uses plain scipy gmres, pyfem.py:2319-2355).
+        """
+        from ..multigrid import GMGAssembler
+
+        assert self.etype.name == "quad4", "gmg Newton requires quad4 grids"
+        assert not self.bc._has_vals, (
+            "gmg Newton tangent path supports zero Dirichlet values only"
+        )
+        nx, ny = int(nnodes_x), int(nnodes_y)
+        assert nx * ny == self.nnodes
+        X = self.X_host
+        fine_mask = np.asarray(self.bc.mask).reshape(1, ny, nx)
+        kw = dict(physics="poisson", p=0.0, dtype=self.dtype,
+                  fine_mask=fine_mask)
+        kw.update(gmg_options)
+        self._gmg_newton = GMGAssembler(
+            nx, ny, float(X[:, 0].max()), float(X[:, 1].max()), **kw
+        )
+        self._gmg_newton_shape = (ny, nx)
+        self._gmg_newton_jit = None
+        return self
+
+    def _gmg_tangent_solve_fn(self, maxiter=400):
+        """Pure ``(xdv, u, res, rtol) -> (du, iters, resnorm, |b|)``.
+
+        One tangent solve: assemble the exact (nonsymmetric) tangent
+        into stencil coefficient planes (ops.stencil scatter-free
+        assembly + symmetric BC elimination), assemble the SPD-part GMG
+        hierarchy from the nodal coefficient field, and run
+        right-preconditioned GMRES.  Traceable — used inside the fused
+        Newton while_loop and (jitted standalone) by the host loop.
+        """
+        asm = self._gmg_newton
+        st0 = asm.static_levels[0][0]
+        mask0 = asm.static_levels[0][3]
+        ny, nx = self._gmg_newton_shape
+        Xe, dN, N, wq, conn = self.Xe, self.dN, self.N, self.wq, self.conn
+        Xn = jnp.asarray(self.X_host, self.dtype)
+
+        def solve(xdv, u, res, rtol):
+            Ke = _tangent_elem(Xe, dN, N, wq, conn, xdv, u)
+            ce = st0.bc_eliminate(st0.assemble(Ke), mask0)
+            c_nodal = hfunc(xdv, Xn) * (1.0 + u * u)
+            gmg, _ = asm.assemble(c_nodal)
+            b = jnp.where(mask0, 0.0, res.reshape(1, ny, nx)).reshape(-1)
+            mv = lambda v: st0.matvec(
+                ce, v.reshape(1, ny, nx)
+            ).reshape(-1)
+            pre = lambda r: gmg.apply(
+                jnp.where(mask0, 0.0, r.reshape(1, ny, nx))
+            ).reshape(-1)
+            du, li, lr = solvers.gmres_loop(
+                mv, b, precond=pre, rtol=rtol, maxiter=maxiter
+            )
+            return du, li, lr, jnp.linalg.norm(b)
+
+        return solve
+
     def solve_nonlinear(
         self, method="gmres", xdv=None, u0=None, tol=1e-10, atol=1e-12,
         max_iter=10, verbose=True,
     ):
-        """Newton loop with the reference contract (pyfem.py:2319-2355)."""
-        assert method in ("direct", "cg", "gmres")
+        """Newton loop with the reference contract (pyfem.py:2319-2355).
+
+        ``method="gmg"`` (after :meth:`attach_structured_grid`) solves
+        each tangent system by V-cycle-preconditioned GMRES on device.
+        """
+        assert method in ("direct", "cg", "gmres", "gmg")
+        if method == "gmg":
+            from .base import _check_converged
+
+            assert getattr(self, "_gmg_newton", None) is not None, (
+                "call attach_structured_grid(nx, ny) before method='gmg'"
+            )
+            if self._gmg_newton_jit is None:
+                self._gmg_newton_jit = jax.jit(self._gmg_tangent_solve_fn())
+            xdv = jnp.asarray(xdv, self.dtype)
+            u = (jnp.zeros(self.ndof, self.dtype) if u0 is None
+                 else jnp.asarray(u0))
+            lin_rtol = 1e-8
+
+            def jac_solve(u_k, res):
+                du, li, lr, bnorm = self._gmg_newton_jit(
+                    xdv, u_k, res, lin_rtol
+                )
+                _check_converged("gmg-gmres", float(lr),
+                                 lin_rtol * float(bnorm), iters=int(li))
+                if verbose:
+                    print(
+                        f"        [gmg-gmres: {int(li)} iters, "
+                        f"||r|| = {float(lr):.3e}]"
+                    )
+                return du
+
+            return solvers.newton(
+                lambda u_k: self.residual(xdv, u_k),
+                jac_solve, u, tol=tol, atol=atol, max_iter=max_iter,
+                verbose=verbose,
+            )
         xdv = jnp.asarray(xdv, self.dtype)
         u = jnp.zeros(self.ndof, self.dtype) if u0 is None else jnp.asarray(u0)
 
@@ -159,8 +270,19 @@ class NonlinearPoisson(FEModel):
             norm.  Raises RuntimeError if a tangent solve stalls (the
             in-loop guard freezes the iterate; one host sync checks the
             flag at this public boundary — §5 failure detection).
+
+        ``method="gmg"`` (after :meth:`attach_structured_grid`)
+        replaces the Jacobi tangent solver with
+        V-cycle-right-preconditioned GMRES — in-jit stencil assembly of
+        the exact tangent + a per-Newton-iteration GMG hierarchy from
+        the nodal coefficient field, still one dispatch for the whole
+        Newton solve.
         """
-        assert method in ("cg", "gmres")
+        assert method in ("cg", "gmres", "gmg")
+        if method == "gmg":
+            assert getattr(self, "_gmg_newton", None) is not None, (
+                "call attach_structured_grid(nx, ny) before method='gmg'"
+            )
         import jax
 
         xdv = jnp.asarray(xdv, self.dtype)
@@ -179,6 +301,10 @@ class NonlinearPoisson(FEModel):
             )
             bc = self.bc
 
+            gmg_solve = (
+                self._gmg_tangent_solve_fn() if method == "gmg" else None
+            )
+
             def program(xdv_v, u_init, tol_v, atol_v, lin_rtol_v):
                 def residual(u):
                     re = _residual_elem(Xe, dN, N, wq, conn, xdv_v, u)
@@ -187,6 +313,8 @@ class NonlinearPoisson(FEModel):
                     )
 
                 def lin_solve(u, res):
+                    if method == "gmg":
+                        return gmg_solve(xdv_v, u, res, lin_rtol_v)
                     Ke = _tangent_elem(Xe, dN, N, wq, conn, xdv_v, u)
                     b = bc.constrain_rhs(
                         res,

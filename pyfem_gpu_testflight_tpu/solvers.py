@@ -145,13 +145,17 @@ def cg(
 
 
 def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
-               maxiter=1000, restart=30, x0=None):
+               maxiter=1000, restart=30, x0=None, precond=None):
     """Traced restarted GMRES(m), right-preconditioned, Givens-updated.
 
     Right preconditioning (solve A M^-1 y = b, x = M^-1 y) keeps the
     least-squares residual equal to the *true* residual ||b - A x||, so
     convergence is reported without an extra host-visible recheck
     matvec (the reference reads scipy's info flag, pyfem.py:2421-2422).
+
+    ``precond`` (optional) is a general right preconditioner ``v ->
+    M^-1 v`` (e.g. a GMG V-cycle); it must be a *fixed linear* operator
+    across the solve.  When given, ``inv_diag`` is ignored.
 
     Returns:
         (x, iters, resnorm) — iters is the exact number of inner Arnoldi
@@ -162,15 +166,19 @@ def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
     n = b.shape[0]
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    if inv_diag is None:
-        inv_diag = jnp.ones_like(b)
+    if precond is not None:
+        minv = precond
+    else:
+        if inv_diag is None:
+            inv_diag = jnp.ones_like(b)
+        minv = lambda v: inv_diag * v
     m = int(min(restart, n))
     rdt = jnp.real(b).dtype
     normb = jnp.linalg.norm(b)
     tol = jnp.maximum(rtol * normb, atol).astype(rdt)
 
     def amv(v):
-        return matvec(inv_diag * v)
+        return matvec(minv(v))
 
     def cycle(x):
         r = b - matvec(x)
@@ -246,7 +254,7 @@ def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
             return y.at[j].set(yj)
 
         y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, b.dtype))
-        x = x + inv_diag * (y @ V[:m])
+        x = x + minv(y @ V[:m])
         rvec = b - matvec(x)
         return x, jnp.sqrt(jnp.vdot(rvec, rvec).real), took
 
