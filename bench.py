@@ -208,6 +208,102 @@ def run_quadratic(args, log):
     }))
 
 
+def run_newton(args, log):
+    """Fused GMG-Newton nonlinear solve at ~1M dof (new capability).
+
+    The reference's nonlinear model (pyfem.py:1332-1664) is solved by a
+    host Newton loop with *unpreconditioned* scipy gmres and has no
+    scalable path.  This config runs the whole Newton solve of
+    -div(h(x)(1+u^2) grad u) = g as ONE jitted lax.while_loop dispatch
+    (models/nonlinear_poisson.solve_nonlinear_fused, method="gmg"):
+    per Newton iteration — element tangent assembly, stencil assembly +
+    BC elimination, a GMG hierarchy from the nodal coefficient field
+    c = h(x)(1+u^2), and V-cycle-right-preconditioned GMRES.
+
+    float32 on TPU: the Newton residual assembly floors near 7e-5
+    relative (measured at 129^2: rn0 0.372, floor 2.6e-5), so the
+    contract here is tol=1e-4 (the f64 reference contract of 1e-10 is
+    covered by the CPU test suite at small sizes).
+    """
+    import jax
+    import jax.numpy as jnp
+    import pyfem_gpu_testflight_tpu as fem
+
+    n = args.newton_n
+    dtype = jnp.dtype(args.dtype)
+    creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n)
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    model = fem.NonlinearPoisson("quad4", X, conn, dof_fixed, dtype=dtype)
+    model.attach_structured_grid(
+        n, n,
+        **({} if args.omega is None else {"omega": args.omega}),
+        **_cheb_kw(args),
+    )
+    log(f"newton: ndof={model.ndof} nelems={model.nelems} dtype={dtype}")
+    xdv = jnp.asarray(np.ones(10) / 10, dtype)
+    tol, lin_rtol = args.newton_tol, args.newton_lin_rtol
+
+    log("[newton] compiling...")
+    t0 = time.time()
+    u, k, rn = model.solve_nonlinear_fused(
+        method="gmg", xdv=xdv, tol=tol, atol=0.0, lin_rtol=lin_rtol,
+        max_iter=12, verbose=False,
+    )
+    jax.block_until_ready(u)
+    log(f"[newton] compile+first run: {time.time()-t0:.1f}s "
+        f"newton_iters={int(k)} resnorm={float(rn):.3e}")
+
+    # timed: drive the cached program directly (the public wrapper does
+    # a host fail-flag sync per call); chain data dependence through u0
+    # so repeats can't be served from a result cache
+    prog = model._fused_newton_cache[("gmg", 12, False)]
+    rdt = jnp.zeros((), dtype).real.dtype
+    targs = (jnp.asarray(tol, rdt), jnp.asarray(0.0, rdt),
+             jnp.asarray(lin_rtol, rdt))
+
+    def step(u_prev):
+        u0 = 0.0 * u_prev  # zeros, but data-dependent on the last solve
+        return prog(xdv, u0, *targs)
+
+    u, k, rn, fail = step(u)
+    jax.block_until_ready(u)
+    assert not bool(fail)
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        u, k, rn, fail = step(u)
+        jax.block_until_ready(u)
+        times.append(time.time() - t0)
+    single = float(np.median(times))
+    depth = 4
+    t0 = time.time()
+    for _ in range(depth):
+        u, k, rn, fail = step(u)
+    jax.block_until_ready(u)
+    t_short = time.time() - t0
+    t0 = time.time()
+    for _ in range(3 * depth):
+        u, k, rn, fail = step(u)
+    jax.block_until_ready(u)
+    elapsed = max(0.0, ((time.time() - t0) - t_short) / (2 * depth))
+    log(f"[newton] single-shot={['%.3f' % t for t in times]} "
+        f"pipelined={elapsed:.4f}s/solve newton_iters={int(k)} "
+        f"resnorm={float(rn):.3e}")
+    print(json.dumps({
+        "metric": (
+            f"nonlinear Poisson fused GMG-Newton time-to-solution "
+            f"(single-shot), {model.ndof} dof, {args.dtype}, "
+            f"newton tol={tol} (relative)"
+        ),
+        "value": round(single, 4),
+        "unit": "s",
+        "vs_baseline": round(5.0 / max(single, 1e-9), 3),
+        "newton_iters": int(k),
+        "resnorm": float(rn),
+        "pipelined_s": round(elapsed, 4),
+    }))
+
+
 def run_topo(args, log):
     """Topology optimization at >= 0.5M dof: s per MMA iteration.
 
@@ -605,12 +701,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config",
                     choices=["all", "2d", "3d", "quadratic", "topo",
-                             "profile"],
+                             "newton", "profile"],
                     default="all",
-                    help="'all' (default) runs the 2D, 3D, and topo "
-                         "headline configs, one JSON line each; "
-                         "'profile' emits per-phase timings + the "
-                         "dispatch/sync floor as JSON")
+                    help="'all' (default) runs the 2D, 3D, quadratic, "
+                         "and topo headline configs, one JSON line "
+                         "each; 'newton' runs the fused GMG-Newton "
+                         "nonlinear solve; 'profile' emits per-phase "
+                         "timings + the dispatch/sync floor as JSON")
     ap.add_argument("--profile-dim", dest="profile_dim",
                     choices=["2d", "3d"], default="2d",
                     help="which headline config the phase profile runs")
@@ -621,6 +718,18 @@ def main():
                     help="3D config: nodes per axis")
     ap.add_argument("--topo-iters", dest="topo_iters", type=int,
                     default=40, help="timed MMA iterations (topo config)")
+    ap.add_argument("--newton-n", dest="newton_n", type=int, default=1025,
+                    help="newton config: nodes per axis")
+    ap.add_argument("--newton-tol", dest="newton_tol", type=float,
+                    default=1e-4,
+                    help="newton config: relative residual tolerance "
+                         "(the f32 residual assembly floors near 7e-5 "
+                         "relative; the f64 reference contract of "
+                         "1e-10 is gated by the CPU test suite)")
+    ap.add_argument("--newton-lin-rtol", dest="newton_lin_rtol",
+                    type=float, default=1e-4,
+                    help="newton config: tangent GMRES rtol "
+                         "(inexact-Newton forcing term)")
     ap.add_argument("--topo-3d", dest="topo_3d", action="store_true",
                     help="topo config on the 3D hex8 cantilever "
                          "(reference topo.py element_type='block')")
@@ -740,6 +849,9 @@ def main():
         return
     if args.config == "topo":
         run_topo(args, log)
+        return
+    if args.config == "newton":
+        run_newton(args, log)
         return
     if args.config == "2d":
         run_2d(args, log)
