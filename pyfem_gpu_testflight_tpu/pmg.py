@@ -98,14 +98,120 @@ class PMG:
             *self.cshape[::-1], float(X[:, 0].max()),
             float(X[:, 1].max()), float(X[:, 2].max()), physics, **kw
         )
+        # scatter-free lattice matvec when conn matches the creator
+        # stride-2 pattern (None -> generic gather/segment_sum path)
+        self._lat_off = self._lattice_offsets()
 
     # -- operator pieces (traced) -----------------------------------------
+
+    def _lattice_offsets(self):
+        """(ncls, nnpe, 3) static lattice offsets when the model's conn
+        IS the ProblemCreator stride-2 lattice pattern, else None.
+
+        On that pattern the per-element gather/scatter of
+        ``assembly.elem_matvec`` (TPU-hostile: measured ~30-60 ms per
+        apply at 0.8M lattice dof, and the Chebyshev + residual legs
+        apply the operator ~8x per PCG iteration) collapses into
+        static stride-2 slices around one MXU-batched ``Ke @ ue``.
+        """
+        from . import mesh as meshmod
+
+        et = self.model.etype.name
+        off = (
+            meshmod._BRICK20_OFFSETS[None]
+            if et == "brick20"
+            else meshmod._tet10_offsets()
+        )
+        nz, ny, nx = self.shape
+        scz, scy, scx = (nz - 1) // 2, (ny - 1) // 2, (nx - 1) // 2
+        k0, j0, i0 = np.meshgrid(
+            2 * np.arange(scz), 2 * np.arange(scy), 2 * np.arange(scx),
+            indexing="ij",
+        )
+        base = np.stack([i0.ravel(), j0.ravel(), k0.ravel()], axis=-1)
+        if et == "brick20":
+            pos = base[:, None, :] + off[0][None, :, :]
+            ids = (pos[..., 0] + pos[..., 1] * nx
+                   + pos[..., 2] * nx * ny).reshape(-1, off.shape[1])
+        else:
+            pos = base[:, None, None, :] + off[None, :, :, :]
+            ids = (pos[..., 0] + pos[..., 1] * nx
+                   + pos[..., 2] * nx * ny).reshape(-1, off.shape[1])
+        if not np.array_equal(np.asarray(self.model.conn_host), ids):
+            return None
+        return np.asarray(off)
+
+    def _lattice_matvec(self, Ke, v):
+        """Scatter-free element matvec on the structured lattice.
+
+        Gathers/scatters go through a PARITY SPLIT of the node grid
+        (reshape-based even/odd deinterleave per axis — the same trick
+        as multigrid's interleave transfers): a local-node offset
+        o in {0,1,2}^3 becomes a CONTIGUOUS slice of the parity block
+        (o mod 2) at base (o div 2).  Direct stride-2 slices instead
+        measured 33 ms/apply on v5e — lane-strided reads/writes cost as
+        much as the gather/segment_sum path they replace (30.8 ms);
+        the MXU-batched ``Ke @ ue`` itself is 1.5 ms.
+        """
+        from .multigrid import _deinterleave2, _interleave2
+        from .ops.dia import interleave_to_planar, planar_to_interleave
+        from .ops.precision import einsum
+
+        nd = self.nd
+        nz, ny, nx = self.shape
+        scz, scy, scx = (nz - 1) // 2, (ny - 1) // 2, (nx - 1) // 2
+        S = scz * scy * scx
+        off = self._lat_off
+        ncls, nnpe, _ = off.shape
+        up = interleave_to_planar(v, nd).reshape(nd, nz, ny, nx)
+        # blocks[pz][py][px]: (nd, (nz+1)//2, (ny+1)//2, (nx+1)//2),
+        # odd-parity blocks zero-padded at the top end
+        bz = _deinterleave2(up, 1)
+        blocks = [
+            [_deinterleave2(byy, 3) for byy in _deinterleave2(bzz, 2)]
+            for bzz in bz
+        ]
+        Kec = Ke.reshape(S, ncls, nnpe * nd, nnpe * nd)
+        acc = [[[jnp.zeros_like(blocks[0][0][0]) for _ in range(2)]
+                for _ in range(2)] for _ in range(2)]
+        for t in range(ncls):
+            cols = []
+            for n in range(nnpe):
+                ox, oy, oz = (int(w) for w in off[t, n])
+                blk = blocks[oz % 2][oy % 2][ox % 2]
+                sl = blk[:, oz // 2 : oz // 2 + scz,
+                         oy // 2 : oy // 2 + scy,
+                         ox // 2 : ox // 2 + scx]
+                cols.append(sl.reshape(nd, S).T)
+            ue = jnp.stack(cols, axis=1).reshape(S, nnpe * nd)
+            ye = einsum("sjk,sk->sj", Kec[:, t], ue)
+            for n in range(nnpe):
+                ox, oy, oz = (int(w) for w in off[t, n])
+                blk = ye[:, n * nd : (n + 1) * nd].T.reshape(
+                    nd, scz, scy, scx
+                )
+                acc[oz % 2][oy % 2][ox % 2] = (
+                    acc[oz % 2][oy % 2][ox % 2]
+                    .at[:, oz // 2 : oz // 2 + scz,
+                        oy // 2 : oy // 2 + scy,
+                        ox // 2 : ox // 2 + scx].add(blk)
+                )
+        rows = [
+            [_interleave2(a0, a1, 3, nx) for a0, a1 in accy]
+            for accy in acc
+        ]
+        planes = [_interleave2(r0, r1, 2, ny) for r0, r1 in rows]
+        y = _interleave2(planes[0], planes[1], 1, nz)
+        return planar_to_interleave(y.reshape(-1), nd)
 
     def _afree(self, Ke, v):
         """Free-dof operator: rows/cols of masked dofs dropped."""
         vz = jnp.where(self.mask_all, 0.0, v)
-        y = assembly.elem_matvec(Ke, self.model.conn_dof, vz,
-                                 self.model.ndof)
+        if self._lat_off is not None:
+            y = self._lattice_matvec(Ke, vz)
+        else:
+            y = assembly.elem_matvec(Ke, self.model.conn_dof, vz,
+                                     self.model.ndof)
         return jnp.where(self.mask_all, 0.0, y)
 
     def _inv_diag(self, Ke):

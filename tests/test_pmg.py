@@ -72,3 +72,25 @@ def test_pmg_ramp_penalized():
     rel = (np.linalg.norm(np.asarray(u) - np.asarray(u_dir))
            / np.linalg.norm(np.asarray(u_dir)))
     assert rel < 1e-8, rel
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("et", ["tet", "brick20"])
+def test_lattice_matvec_equals_elem_matvec(et):
+    """The scatter-free stride-2 lattice matvec (pmg._lattice_matvec,
+    the TPU fast path behind every Chebyshev/residual apply) is the
+    same operator as the generic gather/segment_sum element matvec."""
+    from pyfem_gpu_testflight_tpu import assembly
+
+    model = _model(et, 9)
+    pmg = model._pmg
+    assert pmg._lat_off is not None  # creator lattices must match
+    rng = np.random.RandomState(5)
+    Ke = model.element_jacobian(
+        jnp.asarray(0.3 + 0.7 * rng.rand(model.nnodes))
+    )
+    v = jnp.asarray(rng.standard_normal(model.ndof))
+    y_lat = pmg._lattice_matvec(Ke, v)
+    y_gen = assembly.elem_matvec(Ke, model.conn_dof, v, model.ndof)
+    rel = float(jnp.linalg.norm(y_lat - y_gen) / jnp.linalg.norm(y_gen))
+    assert rel < 1e-13, rel
