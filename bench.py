@@ -220,10 +220,14 @@ def run_newton(args, log):
     BC elimination, a GMG hierarchy from the nodal coefficient field
     c = h(x)(1+u^2), and V-cycle-right-preconditioned GMRES.
 
-    float32 on TPU: the Newton residual assembly floors near 7e-5
-    relative (measured at 129^2: rn0 0.372, floor 2.6e-5), so the
-    contract here is tol=1e-4 (the f64 reference contract of 1e-10 is
-    covered by the CPU test suite at small sizes).
+    float32 on TPU: cancellation noise in the residual assembly and in
+    the tangent GMRES's true-residual recheck sets a mesh-dependent
+    floor — measured relative floors ~7e-5 at 129^2, ~2e-3 at 257^2,
+    ~6e-3 at 1025^2 (the f32 flux-load cancellation grows with kappa).
+    The 1M-dof contract is therefore tol=1e-2 with lin_rtol=1e-2 and a
+    hard inner-iteration cap (a floor-stalled GMRES would otherwise
+    burn its full maxiter rechecking the true residual).  The f64
+    reference contract of 1e-10 is gated by the CPU test suite.
     """
     import jax
     import jax.numpy as jnp
@@ -247,7 +251,7 @@ def run_newton(args, log):
     t0 = time.time()
     u, k, rn = model.solve_nonlinear_fused(
         method="gmg", xdv=xdv, tol=tol, atol=0.0, lin_rtol=lin_rtol,
-        max_iter=12, verbose=False,
+        lin_maxiter=40, max_iter=12, verbose=False,
     )
     jax.block_until_ready(u)
     log(f"[newton] compile+first run: {time.time()-t0:.1f}s "
@@ -256,7 +260,7 @@ def run_newton(args, log):
     # timed: drive the cached program directly (the public wrapper does
     # a host fail-flag sync per call); chain data dependence through u0
     # so repeats can't be served from a result cache
-    prog = model._fused_newton_cache[("gmg", 12, False)]
+    prog = model._fused_newton_cache[("gmg", 12, False, 40)]
     rdt = jnp.zeros((), dtype).real.dtype
     targs = (jnp.asarray(tol, rdt), jnp.asarray(0.0, rdt),
              jnp.asarray(lin_rtol, rdt))
@@ -721,13 +725,13 @@ def main():
     ap.add_argument("--newton-n", dest="newton_n", type=int, default=1025,
                     help="newton config: nodes per axis")
     ap.add_argument("--newton-tol", dest="newton_tol", type=float,
-                    default=1e-4,
+                    default=1e-2,
                     help="newton config: relative residual tolerance "
-                         "(the f32 residual assembly floors near 7e-5 "
-                         "relative; the f64 reference contract of "
-                         "1e-10 is gated by the CPU test suite)")
+                         "(f32 cancellation floors: ~7e-5 at 129^2, "
+                         "~6e-3 at 1025^2; the f64 reference contract "
+                         "of 1e-10 is gated by the CPU test suite)")
     ap.add_argument("--newton-lin-rtol", dest="newton_lin_rtol",
-                    type=float, default=1e-4,
+                    type=float, default=1e-2,
                     help="newton config: tangent GMRES rtol "
                          "(inexact-Newton forcing term)")
     ap.add_argument("--topo-3d", dest="topo_3d", action="store_true",

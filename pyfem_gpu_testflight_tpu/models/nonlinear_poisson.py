@@ -250,7 +250,7 @@ class NonlinearPoisson(FEModel):
 
     def solve_nonlinear_fused(
         self, method="gmres", xdv=None, u0=None, tol=1e-10, atol=1e-12,
-        max_iter=10, verbose=True, lin_rtol=1e-8,
+        max_iter=10, verbose=True, lin_rtol=1e-8, lin_maxiter=None,
     ):
         """TPU-native Newton: the whole solve as ONE jitted dispatch.
 
@@ -288,21 +288,24 @@ class NonlinearPoisson(FEModel):
         xdv = jnp.asarray(xdv, self.dtype)
         u0 = (jnp.zeros(self.ndof, self.dtype) if u0 is None
               else jnp.asarray(u0, self.dtype))
-        key = (method, int(max_iter), bool(verbose))
+        key = (method, int(max_iter), bool(verbose),
+               None if lin_maxiter is None else int(lin_maxiter))
         if getattr(self, "_fused_newton_cache", None) is None:
             self._fused_newton_cache = {}
         if key not in self._fused_newton_cache:
             mask = self.bc.mask
             conn_dof = self.conn_dof
             ndof = self.ndof
-            maxlin = 10 * ndof
+            maxlin = (10 * ndof if lin_maxiter is None
+                      else int(lin_maxiter))
             Xe, dN, N, wq, conn = (
                 self.Xe, self.dN, self.N, self.wq, self.conn
             )
             bc = self.bc
 
             gmg_solve = (
-                self._gmg_tangent_solve_fn() if method == "gmg" else None
+                self._gmg_tangent_solve_fn(maxiter=maxlin)
+                if method == "gmg" else None
             )
 
             def program(xdv_v, u_init, tol_v, atol_v, lin_rtol_v):

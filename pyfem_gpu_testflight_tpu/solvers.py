@@ -195,11 +195,16 @@ def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
             V, H, cs, sn, g, j = st
             w = amv(V[j])
             # classical Gram-Schmidt, twice (CGS2): unset rows of V are
-            # zero, so the full-matrix products project on span(V[:j+1])
-            h = V.conj() @ w
-            w = w - h @ V
-            h2 = V.conj() @ w
-            w = w - h2 @ V
+            # zero, so the full-matrix products project on span(V[:j+1]).
+            # Precision pin is load-bearing: TPU dot_general defaults to
+            # bf16 mantissas, which destroys the basis orthogonality —
+            # measured on v5e: GMRES stagnates at ~1e-3 relative
+            # residual (sqrt(eps_bf16)) instead of converging.
+            hp = jax.lax.Precision.HIGHEST
+            h = jnp.matmul(V.conj(), w, precision=hp)
+            w = w - jnp.matmul(h, V, precision=hp)
+            h2 = jnp.matmul(V.conj(), w, precision=hp)
+            w = w - jnp.matmul(h2, V, precision=hp)
             h = h + h2
             hn = jnp.linalg.norm(w)
             V = V.at[j + 1].set(w / jnp.where(hn > 0, hn, 1.0))
@@ -246,7 +251,9 @@ def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
         # zero g and contribute y[j] = 0
         def back(i, y):
             j = m - 1 - i
-            s = g[j] - H[:, j] @ y
+            s = g[j] - jnp.matmul(
+                H[:, j], y, precision=jax.lax.Precision.HIGHEST
+            )
             hjj = H[j, j]
             yj = jnp.where(
                 jnp.abs(hjj) > 0, s / jnp.where(hjj == 0, 1.0, hjj), 0.0
@@ -254,7 +261,9 @@ def gmres_loop(matvec, b, inv_diag=None, rtol=1e-8, atol=0.0,
             return y.at[j].set(yj)
 
         y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, b.dtype))
-        x = x + minv(y @ V[:m])
+        x = x + minv(
+            jnp.matmul(y, V[:m], precision=jax.lax.Precision.HIGHEST)
+        )
         rvec = b - matvec(x)
         return x, jnp.sqrt(jnp.vdot(rvec, rvec).real), took
 
