@@ -1,9 +1,11 @@
 """Headline benchmarks: assembly + CG time-to-solution and topo-opt rate.
 
-The default invocation runs all three headline configs and prints one
-JSON line per config (2D plane stress, 3D hex8, topology optimization):
+The default invocation runs the five headline configs and prints one
+JSON line per config (2D plane stress + accuracy mode, 3D hex8,
+brick20 p-multigrid, fused GMG-Newton nonlinear, topology
+optimization):
     {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 5.0/seconds}
-``--config 2d|3d|topo`` runs a single config (quick sweeps).
+``--config 2d|3d|quadratic|newton|topo`` runs a single config.
 
 The baseline (BASELINE.md) is the driver-set target of < 5 s on a single
 TPU v5e chip for assembly + CG solve at ~1e6 dofs, with the solution
@@ -861,10 +863,12 @@ def main():
         run_2d(args, log)
         return
 
-    # default: all three headline configs, one JSON line each; a failure
-    # in one config must not lose the others' numbers
+    # default: all headline configs, one JSON line each; a failure in
+    # one config must not lose the others' numbers (topo last — its
+    # line is the one the driver parses)
     for name, fn in (("2d", run_2d), ("3d", run_3d),
-                     ("quadratic", run_quadratic), ("topo", run_topo)):
+                     ("quadratic", run_quadratic),
+                     ("newton", run_newton), ("topo", run_topo)):
         try:
             fn(args, log)
         except Exception as e:  # noqa: BLE001 - keep remaining configs
