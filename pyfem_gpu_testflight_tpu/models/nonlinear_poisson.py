@@ -145,7 +145,197 @@ class NonlinearPoisson(FEModel):
         )
         self._gmg_newton_shape = (ny, nx)
         self._gmg_newton_jit = None
+        self._unif = self._uniform_newton_statics(nx, ny)
         return self
+
+    def _uniform_newton_statics(self, nx, ny):
+        """Static tables for the scatter-free uniform-grid Newton path.
+
+        On the ProblemCreator raster (conn row-major with x fastest,
+        local order == ops.stencil._QUAD4_LOCAL, congruent elements)
+        the element einsum paths collapse: the flux IS the
+        variable-coefficient stencil times u (element residual
+        pyfem.py:1530-1537 with u_e factored out), and the tangent's
+        quadrature coefficients are shifted-slice interpolations of
+        the node grid — no per-element gather, no (nelems, 4, 4)
+        materialization for the SPD part.  Returns None (generic path)
+        when the mesh is not the creator raster.
+        """
+        from ..ops.stencil import _QUAD4_LOCAL
+
+        conn = np.asarray(self.conn_host)
+        nodes = np.arange(ny * nx).reshape(ny, nx)
+        cols = [
+            nodes[ay : ay + ny - 1 or None, ax : ax + nx - 1 or None][
+                : ny - 1, : nx - 1
+            ].ravel()
+            for (ay, ax) in _QUAD4_LOCAL
+        ]
+        expected = np.stack(cols, axis=-1)
+        if conn.shape != expected.shape or not np.array_equal(
+            conn, expected
+        ):
+            return None
+        X = self.X_host
+        xg = X[:, 0].reshape(ny, nx)
+        yg = X[:, 1].reshape(ny, nx)
+        hx = np.diff(xg, axis=1)
+        hy = np.diff(yg, axis=0)
+        if not (
+            np.allclose(hx, hx.flat[0], rtol=0, atol=1e-12)
+            and np.allclose(hy, hy.flat[0], rtol=0, atol=1e-12)
+            and np.allclose(np.diff(xg, axis=0), 0.0, atol=1e-12)
+            and np.allclose(np.diff(yg, axis=1), 0.0, atol=1e-12)
+        ):
+            return None
+
+        N = np.asarray(self.N, np.float64)          # (nq, 4)
+        dN = np.asarray(self.dN, np.float64)        # (nq, 4, 2)
+        wq = np.asarray(self.wq, np.float64)
+        xe0 = np.asarray(X[conn[0]], np.float64)    # (4, 2)
+        Xc = xe0 - xe0.mean(axis=0, keepdims=True)
+        J = np.einsum("qnk,ni->qik", dN, Xc)        # (nq, 2, 2)
+        detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+        inv = np.empty_like(J)
+        inv[:, 0, 0] = J[:, 1, 1]
+        inv[:, 1, 1] = J[:, 0, 0]
+        inv[:, 0, 1] = -J[:, 0, 1]
+        inv[:, 1, 0] = -J[:, 1, 0]
+        inv /= detJ[:, None, None]
+        G = np.einsum("qnk,qki->qni", dN, inv)      # (nq, 4, 2) Ngrad
+        # per-quad physical coordinates of every element, as planes
+        offs = np.einsum("qn,ni->qi", N, xe0 - xe0[0])  # (nq, 2)
+        x0 = xg[: ny - 1, : nx - 1]
+        y0 = yg[: ny - 1, : nx - 1]
+        Xq_grid = np.stack(
+            [
+                np.stack([x0 + offs[q, 0], y0 + offs[q, 1]], axis=-1)
+                for q in range(N.shape[0])
+            ]
+        )  # (nq, ney, nex, 2)
+
+        # static load vector (g has no xdv dependence), assembled once
+        # on host
+        with jax.default_device(jax.devices("cpu")[0]):
+            gq = np.asarray(gfunc(jnp.asarray(Xq_grid)))
+            le = np.einsum("q,qyx,qn->yxn", detJ * wq, gq, N)
+            load = np.zeros(ny * nx)
+            np.add.at(load, conn.reshape(-1),
+                      le.reshape(-1, N.shape[0]).reshape(-1))
+        dt = self.dtype
+        lhi = load.astype(np.float32)
+        llo = (load - lhi.astype(np.float64)).astype(np.float32)
+        return dict(
+            N=jnp.asarray(N, dt), G=jnp.asarray(G, dt),
+            detJw=jnp.asarray(detJ * wq, dt),
+            Xq=jnp.asarray(Xq_grid, dt),
+            load=jnp.asarray(load, dt),
+            load_hi=jnp.asarray(lhi.reshape(1, ny, nx)),
+            load_lo=jnp.asarray(llo.reshape(1, ny, nx)),
+        )
+
+    def _uniform_tangent_coeffs(self, xdv, u_grid):
+        """Scatter-free tangent stencil coefficients on the raster.
+
+        Returns (coeff_spd_raw, coeff_rank): the variable-coefficient
+        Poisson part assembled via unit matrices (also the exact flux
+        operator: flux = coeff_spd_raw . u), and the low-order
+        nonsymmetric ``2 h u_q (B u_e) N^T`` term's stencil.
+        """
+        st0 = self._gmg_newton.static_levels[0][0]
+        Kq = self._gmg_newton.static_levels[0][5]
+        un = self._unif
+        N, G, detJw, Xq = un["N"], un["G"], un["detJw"], un["Xq"]
+        ny, nx = self._gmg_newton_shape
+        ney, nex = ny - 1, nx - 1
+        from ..ops.stencil import _QUAD4_LOCAL
+
+        us = [
+            u_grid[ay : ay + ney, ax : ax + nex]
+            for (ay, ax) in _QUAD4_LOCAL
+        ]
+        nq = N.shape[0]
+        h_q = hfunc(xdv, Xq)                       # (nq, ney, nex)
+        uq = jnp.stack(
+            [sum(N[q, n] * us[n] for n in range(4)) for q in range(nq)]
+        )
+        # Kq already carries w_q |J_q| (unit_matrices); the material
+        # factor is just h (1 + u_q^2)
+        c1 = h_q * (1.0 + uq * uq)
+        coeff_spd = st0.assemble_uniform(c1, Kq)
+
+        gradu = [
+            [sum(G[q, n, l] * us[n] for n in range(4)) for l in range(2)]
+            for q in range(nq)
+        ]
+        c2 = 2.0 * detJw[:, None, None] * h_q * uq  # (nq, ney, nex)
+        # Ke2[e, j, i] = sum_q c2[q] bbu[q, j] N[q, i]
+        bbu = [
+            [
+                sum(G[q, j, l] * gradu[q][l] for l in range(2))
+                for j in range(4)
+            ]
+            for q in range(nq)
+        ]
+        Ke2 = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        sum(c2[q] * bbu[q][j] * N[q, i]
+                            for q in range(nq))
+                        for i in range(4)
+                    ],
+                    axis=-1,
+                )
+                for j in range(4)
+            ],
+            axis=-2,
+        )  # (ney, nex, 4, 4)
+        coeff_rank = st0.assemble(Ke2.reshape(-1, 4, 4))
+        return coeff_spd, coeff_rank
+
+    def _uniform_residual(self, xdv, u):
+        """R(u) = K_c(u) u - load on the raster (scatter-free)."""
+        st0 = self._gmg_newton.static_levels[0][0]
+        ny, nx = self._gmg_newton_shape
+        u_grid = u.reshape(ny, nx)
+        coeff_spd, _ = self._uniform_tangent_coeffs(
+            xdv, u_grid
+        )
+        flux = st0.matvec(coeff_spd, u_grid[None]).reshape(-1)
+        return self.bc.zero_fixed(flux - self._unif["load"])
+
+    def _uniform_residual_df(self, xdv, u):
+        """(r_f32, ||r||) with the flux in double-float arithmetic.
+
+        The f32 Newton residual floor is cancellation in
+        ``flux - load`` (measured ~1.5e-2 relative at 1025^2); the
+        ops.df64 compensated matvec computes the flux of the
+        f32-coefficient operator to ~1e-13 relative, so the residual
+        — and the convergence test — see the TRUE residual of the
+        (f32-coefficient) problem instead of assembly noise.  Costs
+        one compensated 9-tap matvec (~1 ms class at 1M dof).
+        """
+        from ..ops import df64
+
+        st0 = self._gmg_newton.static_levels[0][0]
+        mask0 = self._gmg_newton.static_levels[0][3]
+        ny, nx = self._gmg_newton_shape
+        u_grid = u.reshape(1, ny, nx)
+        coeff_spd, _ = self._uniform_tangent_coeffs(
+            xdv, u_grid[0]
+        )
+        zero_c = jnp.zeros_like(coeff_spd)
+        yhi, ylo = df64.stencil_matvec_df(
+            st0, coeff_spd, zero_c, u_grid, jnp.zeros_like(u_grid)
+        )
+        lhi, llo = self._unif["load_hi"], self._unif["load_lo"]
+        rhi, rlo = df64.df_add(yhi, ylo, -lhi, -llo)
+        rhi = jnp.where(mask0, 0.0, rhi)
+        rlo = jnp.where(mask0, 0.0, rlo)
+        rn = jnp.sqrt(df64.df_dot(rhi, rlo, rhi, rlo))
+        r32 = (rhi + rlo).reshape(-1)
+        return r32, rn.astype(u.dtype)
 
     def _gmg_tangent_solve_fn(self, maxiter=400):
         """Pure ``(xdv, u, res, rtol) -> (du, iters, resnorm, |b|)``.
@@ -164,9 +354,17 @@ class NonlinearPoisson(FEModel):
         Xe, dN, N, wq, conn = self.Xe, self.dN, self.N, self.wq, self.conn
         Xn = jnp.asarray(self.X_host, self.dtype)
 
+        unif = getattr(self, "_unif", None)
+
         def solve(xdv, u, res, rtol):
-            Ke = _tangent_elem(Xe, dN, N, wq, conn, xdv, u)
-            ce = st0.bc_eliminate(st0.assemble(Ke), mask0)
+            if unif is not None:
+                cs, cr = self._uniform_tangent_coeffs(
+                    xdv, u.reshape(ny, nx)
+                )
+                ce = st0.bc_eliminate(cs + cr, mask0)
+            else:
+                Ke = _tangent_elem(Xe, dN, N, wq, conn, xdv, u)
+                ce = st0.bc_eliminate(st0.assemble(Ke), mask0)
             c_nodal = hfunc(xdv, Xn) * (1.0 + u * u)
             gmg, _ = asm.assemble(c_nodal)
             b = jnp.where(mask0, 0.0, res.reshape(1, ny, nx)).reshape(-1)
@@ -308,12 +506,31 @@ class NonlinearPoisson(FEModel):
                 if method == "gmg" else None
             )
 
+            use_unif = (
+                method == "gmg" and getattr(self, "_unif", None)
+                is not None
+            )
+            unif_df = use_unif and self.dtype == jnp.float32
+
             def program(xdv_v, u_init, tol_v, atol_v, lin_rtol_v):
                 def residual(u):
+                    if use_unif:
+                        # scatter-free raster residual: the flux IS
+                        # the coefficient stencil times u
+                        return self._uniform_residual(xdv_v, u)
                     re = _residual_elem(Xe, dN, N, wq, conn, xdv_v, u)
                     return bc.zero_fixed(
                         assembly.assemble_vector(re, conn_dof, ndof)
                     )
+
+                def residual_rn(u):
+                    if unif_df:
+                        # double-float flux: the convergence test sees
+                        # the true residual of the f32-coefficient
+                        # operator, not f32 flux-load cancellation
+                        return self._uniform_residual_df(xdv_v, u)
+                    r = residual(u)
+                    return r, jnp.linalg.norm(r)
 
                 def lin_solve(u, res):
                     if method == "gmg":
@@ -344,8 +561,7 @@ class NonlinearPoisson(FEModel):
 
                 def body(c):
                     u, k, rn0, _, _, _ = c
-                    res = residual(u)
-                    rn = jnp.linalg.norm(res)
+                    res, rn = residual_rn(u)
                     rn0 = jnp.where(k == 0, rn, rn0)
                     conv = (k > 0) & ((rn < tol_v * rn0)
                                       | (rn < atol_v))

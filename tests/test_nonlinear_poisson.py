@@ -129,3 +129,35 @@ def test_newton_gmg_tangent():
     )
     assert 0 < int(li) <= 30
     assert float(lr) <= 1e-8 * float(bnorm) * 10
+
+
+@pytest.mark.quick
+def test_uniform_newton_fast_path_equivalence():
+    """The scatter-free raster residual/tangent (the TPU fast path the
+    gmg Newton uses on ProblemCreator grids) matches the generic
+    einsum + scatter assembly to roundoff."""
+    import jax.numpy as jnp
+    from pyfem_gpu_testflight_tpu.models.nonlinear_poisson import (
+        _tangent_elem,
+    )
+
+    n = 17
+    creator = fem.ProblemCreator(nnodes_x=n, nnodes_y=n)
+    conn, X, dof_fixed = creator.create_poisson_problem()
+    m = fem.NonlinearPoisson("quad4", X, conn, dof_fixed)
+    m.attach_structured_grid(n, n)
+    assert m._unif is not None
+    rng = np.random.RandomState(0)
+    xdv = jnp.asarray(rng.rand(6))
+    u = jnp.asarray(0.3 * rng.standard_normal(m.ndof))
+
+    r_fast = np.asarray(m._uniform_residual(xdv, u))
+    r_ref = np.asarray(m.residual(xdv, u))
+    assert np.abs(r_fast - r_ref).max() < 1e-13
+
+    st0 = m._gmg_newton.static_levels[0][0]
+    cs, cr = m._uniform_tangent_coeffs(xdv, u.reshape(n, n))
+    c_ref = st0.assemble(
+        _tangent_elem(m.Xe, m.dN, m.N, m.wq, m.conn, xdv, u)
+    )
+    assert float(jnp.abs((cs + cr) - c_ref).max()) < 1e-13
